@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-device paths (DP sharding, SyncBN, psum) are exercised without TPU
+hardware via XLA host-platform device emulation — the JAX-idiomatic analog of
+a fake backend (SURVEY.md §4).
+
+NOTE: pytest plugins (jaxtyping) import jax before this conftest runs, so
+setting os.environ alone is too late for JAX_PLATFORMS — the ambient
+environment points at the remote TPU tunnel. We force the platform through
+jax.config, which takes effect as long as no backend has been initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}"
+)

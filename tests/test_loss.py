@@ -1,0 +1,136 @@
+"""Detection loss tests: finiteness, gradients, synthetic-GT behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_ms_tpu.train.loss import DetectionLoss, _bce_logits, _dfl_loss
+
+
+def make_raw_maps(rng, b=2, img=64, nc=3, reg_max=16):
+    shapes = [img // s for s in (8, 16, 32)]
+    no = 4 * reg_max + nc
+    keys = jax.random.split(rng, 3)
+    return [
+        jax.random.normal(k, (b, s, s, no)) * 0.1 for k, s in zip(keys, shapes)
+    ]
+
+
+def make_gt(b=2, m=4):
+    boxes = np.zeros((b, m, 4), np.float32)
+    labels = np.zeros((b, m), np.int32)
+    mask = np.zeros((b, m), bool)
+    # one gt in image 0, two in image 1 (normalized cxcywh)
+    boxes[0, 0] = [0.5, 0.5, 0.4, 0.4]
+    labels[0, 0] = 1
+    mask[0, 0] = True
+    boxes[1, 0] = [0.25, 0.25, 0.3, 0.3]
+    boxes[1, 1] = [0.75, 0.75, 0.2, 0.4]
+    labels[1, 0], labels[1, 1] = 0, 2
+    mask[1, 0] = mask[1, 1] = True
+    return jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask)
+
+
+class TestDFLHelper:
+    def test_two_bin_soft_label(self):
+        """Target 3.25 -> 0.75*CE(bin3) + 0.25*CE(bin4)."""
+        logits = jnp.asarray(np.random.default_rng(0).standard_normal((5, 16)), jnp.float32)
+        t = jnp.full((5,), 3.25)
+        got = np.asarray(_dfl_loss(logits, t, 16))
+        logp = np.asarray(jax.nn.log_softmax(logits, -1))
+        expect = -(logp[:, 3] * 0.75 + logp[:, 4] * 0.25)
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_integer_target_single_bin(self):
+        logits = jnp.zeros((1, 16))
+        got = float(_dfl_loss(logits, jnp.asarray([5.0]), 16)[0])
+        assert abs(got - np.log(16)) < 1e-5
+
+    def test_clamps_out_of_range(self):
+        logits = jnp.zeros((2, 16))
+        out = _dfl_loss(logits, jnp.asarray([-3.0, 99.0]), 16)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bce_logits_matches_stable_formula():
+    x = jnp.asarray([-5.0, 0.0, 5.0])
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    got = np.asarray(_bce_logits(x, t))
+    p = 1 / (1 + np.exp(-np.asarray(x)))
+    expect = -(np.asarray(t) * np.log(p) + (1 - np.asarray(t)) * np.log(1 - p))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+class TestDetectionLoss:
+    @pytest.fixture
+    def loss_fn(self):
+        return DetectionLoss(num_classes=3)
+
+    def test_finite_and_components(self, loss_fn):
+        raw = make_raw_maps(jax.random.PRNGKey(0))
+        boxes, labels, mask = make_gt()
+        total, metrics = loss_fn(raw, boxes, labels, mask)
+        assert np.isfinite(float(total))
+        for k in ("loss_box", "loss_cls", "loss_dfl"):
+            assert np.isfinite(float(metrics[k])) and float(metrics[k]) >= 0
+        assert float(metrics["num_fg"]) > 0
+
+    def test_no_gt_only_cls_loss(self, loss_fn):
+        raw = make_raw_maps(jax.random.PRNGKey(1))
+        boxes = jnp.zeros((2, 4, 4))
+        labels = jnp.zeros((2, 4), jnp.int32)
+        mask = jnp.zeros((2, 4), bool)
+        total, metrics = loss_fn(raw, boxes, labels, mask)
+        assert float(metrics["num_fg"]) == 0
+        assert float(metrics["loss_box"]) == 0.0
+        assert float(metrics["loss_dfl"]) == 0.0
+        assert float(metrics["loss_cls"]) > 0.0
+        assert np.isfinite(float(total))
+
+    def test_gradients_flow_and_finite(self, loss_fn):
+        raw = make_raw_maps(jax.random.PRNGKey(2))
+        boxes, labels, mask = make_gt()
+
+        def f(maps):
+            return loss_fn(maps, boxes, labels, mask)[0]
+
+        grads = jax.grad(f)(raw)
+        for g in grads:
+            ga = np.asarray(g)
+            assert np.all(np.isfinite(ga))
+            assert np.abs(ga).sum() > 0
+
+    def test_jit_compatible(self, loss_fn):
+        raw = make_raw_maps(jax.random.PRNGKey(3))
+        boxes, labels, mask = make_gt()
+        total_eager = float(loss_fn(raw, boxes, labels, mask)[0])
+        total_jit = float(jax.jit(lambda r: loss_fn(r, boxes, labels, mask)[0])(raw))
+        assert abs(total_eager - total_jit) < 1e-3
+
+    def test_loss_decreases_under_gradient_descent(self):
+        """Optimizing the raw maps against a fixed GT must reduce the loss —
+        the end-to-end sanity property (assignment + decode + all three loss
+        terms are consistent and differentiable)."""
+        loss_fn = DetectionLoss(num_classes=3)
+        boxes, labels, mask = make_gt()
+        maps = make_raw_maps(jax.random.PRNGKey(5))
+
+        @jax.jit
+        def step(ms):
+            (loss, _), grads = jax.value_and_grad(
+                lambda m: loss_fn(m, boxes, labels, mask), has_aux=True
+            )(ms)
+            return loss, [m - 0.5 * g for m, g in zip(ms, grads)]
+
+        first, maps = step(maps)
+        for _ in range(20):
+            loss, maps = step(maps)
+        assert float(loss) < float(first) * 0.8, (float(first), float(loss))
+
+    def test_focal_variant(self):
+        loss_fn = DetectionLoss(num_classes=3, use_focal=True, alpha=0.25, gamma=1.5)
+        raw = make_raw_maps(jax.random.PRNGKey(4))
+        boxes, labels, mask = make_gt()
+        total, metrics = loss_fn(raw, boxes, labels, mask)
+        assert np.isfinite(float(total))

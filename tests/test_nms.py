@@ -1,0 +1,151 @@
+"""NMS tests: exact greedy semantics vs a numpy oracle, fixed shapes, jit.
+
+The oracle reimplements torchvision.ops.nms's documented greedy algorithm in
+numpy (keep highest score, drop overlaps > threshold, repeat) — the behavior
+the reference relies on at tools/test.py:202 and tools/train.py:93.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_ms_tpu.ops.iou import xywh_to_xyxy
+from yolo_ms_tpu.ops.nms import batched_nms, nms_fixed
+
+
+def np_greedy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
+    """Reference greedy NMS -> kept indices (into the input order)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= 0:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a_j = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            iou = inter / (a_i + a_j - inter + 1e-7)
+            if iou > thresh:
+                suppressed[j] = True
+    return keep
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms_fixed_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 64
+    centers = rng.uniform(50, 200, (n, 2))
+    sizes = rng.uniform(20, 80, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1).astype(
+        np.float32
+    )
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    order = np.argsort(-scores)
+    b_sorted, s_sorted = boxes[order], scores[order]
+
+    keep_mask = np.asarray(nms_fixed(jnp.asarray(b_sorted), jnp.asarray(s_sorted), 0.5))
+    got = set(np.nonzero(keep_mask)[0].tolist())
+
+    expect = set(np_greedy_nms(b_sorted, s_sorted, 0.5))
+    assert got == expect
+
+
+def test_nms_invalid_rows_never_kept():
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
+    scores = jnp.asarray([0.9, -1.0])
+    keep = np.asarray(nms_fixed(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False]
+
+
+class TestBatchedNMS:
+    def _preds(self, dets, nc, a=100):
+        """Build a decoded [1, A, 4+nc] tensor from (cx,cy,w,h,score,cls)."""
+        p = np.zeros((1, a, 4 + nc), dtype=np.float32)
+        for i, (cx, cy, w, h, s, c) in enumerate(dets):
+            p[0, i, :4] = [cx, cy, w, h]
+            p[0, i, 4 + c] = s
+        return jnp.asarray(p)
+
+    def test_class_aware_keeps_overlapping_different_classes(self):
+        """Same box, two classes -> both survive (per-class NMS semantics)."""
+        preds = self._preds(
+            [(50, 50, 20, 20, 0.9, 0), (50, 50, 20, 20, 0.8, 1)], nc=3
+        )
+        out = batched_nms(preds, conf_thresh=0.25, iou_thresh=0.45, pre_nms_topk=16, max_det=8)
+        valid = np.asarray(out["valid"][0])
+        assert valid.sum() == 2
+        cls = np.asarray(out["classes"][0])[valid]
+        assert set(cls.tolist()) == {0, 1}
+
+    def test_same_class_overlap_suppressed(self):
+        preds = self._preds(
+            [(50, 50, 20, 20, 0.9, 1), (52, 51, 20, 20, 0.8, 1), (200, 200, 10, 10, 0.7, 1)],
+            nc=3,
+        )
+        out = batched_nms(preds, conf_thresh=0.25, iou_thresh=0.45, pre_nms_topk=16, max_det=8)
+        valid = np.asarray(out["valid"][0])
+        assert valid.sum() == 2
+        scores = np.asarray(out["scores"][0])[valid]
+        np.testing.assert_allclose(sorted(scores.tolist()), [0.7, 0.9], atol=1e-6)
+
+    def test_conf_threshold(self):
+        preds = self._preds([(50, 50, 20, 20, 0.2, 0)], nc=2)
+        out = batched_nms(preds, conf_thresh=0.25, pre_nms_topk=16, max_det=8)
+        assert np.asarray(out["valid"]).sum() == 0
+
+    def test_output_shapes_fixed(self):
+        preds = jnp.zeros((3, 500, 4 + 80))
+        out = batched_nms(preds, max_det=300, pre_nms_topk=256)
+        assert out["boxes"].shape == (3, 300, 4)
+        assert out["scores"].shape == (3, 300)
+        assert out["classes"].shape == (3, 300)
+        assert out["valid"].shape == (3, 300)
+
+    def test_boxes_are_xyxy(self):
+        preds = self._preds([(50, 60, 20, 10, 0.9, 0)], nc=1)
+        out = batched_nms(preds, pre_nms_topk=16, max_det=4)
+        box = np.asarray(out["boxes"][0, 0])
+        np.testing.assert_allclose(box, [40, 55, 60, 65], atol=1e-5)
+
+    def test_matches_reference_pipeline_oracle(self):
+        """Random decoded preds -> our pipeline == conf-filter + per-class
+        greedy NMS oracle (tools/test.py:167-218 semantics)."""
+        rng = np.random.default_rng(7)
+        a, nc = 200, 5
+        p = np.zeros((1, a, 4 + nc), dtype=np.float32)
+        p[0, :, 0:2] = rng.uniform(100, 500, (a, 2))
+        p[0, :, 2:4] = rng.uniform(10, 120, (a, 2))
+        p[0, :, 4:] = rng.uniform(0, 1, (a, nc)) ** 3  # sparse high scores
+
+        out = batched_nms(
+            jnp.asarray(p), conf_thresh=0.25, iou_thresh=0.45, pre_nms_topk=256, max_det=256
+        )
+        valid = np.asarray(out["valid"][0])
+        got = {
+            (round(float(s), 5), int(c))
+            for s, c in zip(
+                np.asarray(out["scores"][0])[valid], np.asarray(out["classes"][0])[valid]
+            )
+        }
+
+        # Oracle
+        boxes_xyxy = np.asarray(xywh_to_xyxy(jnp.asarray(p[0, :, :4])))
+        scores = p[0, :, 4:].max(-1)
+        classes = p[0, :, 4:].argmax(-1)
+        mask = scores > 0.25
+        expect = set()
+        for c in np.unique(classes[mask]):
+            sel = mask & (classes == c)
+            idx = np.nonzero(sel)[0]
+            keep_local = np_greedy_nms(boxes_xyxy[idx], scores[idx], 0.45)
+            for k in keep_local:
+                expect.add((round(float(scores[idx[k]]), 5), int(c)))
+        assert got == expect

@@ -1,0 +1,187 @@
+"""Batched detection loader: padded static-shape batches + async prefetch.
+
+Replaces the reference's DataLoader + concat-style collate (dataset.py:235-267
+builds a dynamic [M,6] target tensor) with the jit-friendly padded layout:
+
+  images [B, H, W, 3] float32 (ImageNet-normalized, NHWC)
+  boxes  [B, max_gt, 4] normalized (cx, cy, w, h)
+  labels [B, max_gt] int32
+  mask   [B, max_gt] bool
+
+Static shapes mean ONE compiled train step for every batch. Worker threads
+(the host pipeline is IO/decode bound — threads suffice because decode
+releases the GIL inside libjpeg/cv2) prefetch batches ahead of the device.
+
+Determinism: every (epoch, index) pair seeds its own np.random.Generator, so
+data order + augmentation draws are exactly reproducible and the iterator can
+be checkpoint-resumed from (epoch, step) alone — the failure-recovery story
+the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from yolo_ms_tpu.data.augment import (
+    EvalTransform,
+    TrainAugment,
+    coco_to_xyxy,
+    mixup,
+    mosaic4,
+    normalize_imagenet,
+    xyxy_to_norm_cxcywh,
+)
+from yolo_ms_tpu.data.coco import CocoDetectionDataset
+
+
+class DetectionLoader:
+    def __init__(
+        self,
+        dataset: CocoDetectionDataset,
+        batch_size: int,
+        img_size: tuple[int, int] = (640, 640),
+        max_gt: int = 128,
+        is_train: bool = True,
+        augmentation: dict | None = None,
+        seed: int = 42,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        drop_last: bool | None = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.img_h, self.img_w = img_size
+        self.max_gt = max_gt
+        self.is_train = is_train
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = is_train if drop_last is None else drop_last
+        self.aug_params = dict(augmentation or {})
+        self.mosaic_p = self.aug_params.get("mosaic", 0.0) if is_train else 0.0
+        self.mixup_p = self.aug_params.get("mixup", 0.0) if is_train else 0.0
+        self.transform = (
+            TrainAugment(self.aug_params, img_size)
+            if is_train
+            else EvalTransform(img_size)
+        )
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # ------------------------------------------------------------------ #
+
+    def _load_xyxy(self, idx: int):
+        img, boxes_xywh, labels = self.ds[idx]
+        return img, coco_to_xyxy(boxes_xywh), labels
+
+    def _make_sample(self, epoch: int, idx: int, order: np.ndarray):
+        """One fully-augmented, resized, normalized sample."""
+        rng = np.random.default_rng((self.seed, epoch, int(idx)))
+        ds_idx = int(order[idx])
+        if self.is_train and self.mosaic_p > 0 and rng.uniform() < self.mosaic_p:
+            picks = [ds_idx] + [int(rng.integers(len(self.ds))) for _ in range(3)]
+            samples = [self._load_xyxy(i) for i in picks]
+            img, boxes, labels = mosaic4(samples, rng, max(self.img_h, self.img_w))
+        else:
+            img, boxes, labels = self._load_xyxy(ds_idx)
+        if self.is_train and self.mixup_p > 0 and rng.uniform() < self.mixup_p:
+            j = int(rng.integers(len(self.ds)))
+            img2, boxes2, labels2 = self._load_xyxy(j)
+            # bring both to a common canvas first
+            from yolo_ms_tpu.data.augment import resize_linear
+
+            img, boxes = resize_linear(img, boxes, self.img_h, self.img_w)
+            img2, boxes2 = resize_linear(img2, boxes2, self.img_h, self.img_w)
+            img, boxes, labels = mixup(img, boxes, labels, img2, boxes2, labels2, rng)
+        img, boxes, labels = self.transform(img, boxes, labels, rng)
+        return normalize_imagenet(img), boxes, labels
+
+    def _pad_targets(self, boxes_xyxy: np.ndarray, labels: np.ndarray):
+        m = self.max_gt
+        out_b = np.zeros((m, 4), np.float32)
+        out_l = np.zeros((m,), np.int32)
+        out_m = np.zeros((m,), bool)
+        n = min(len(boxes_xyxy), m)
+        if n:
+            norm = xyxy_to_norm_cxcywh(boxes_xyxy[:n], self.img_w, self.img_h)
+            out_b[:n] = norm
+            out_l[:n] = labels[:n]
+            out_m[:n] = True
+        return out_b, out_l, out_m
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.ds))
+        if self.is_train:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        return order
+
+    def _batch_indices(self, epoch: int):
+        n = len(self.ds)
+        bs = self.batch_size
+        num = n // bs if self.drop_last else (n + bs - 1) // bs
+        return [range(b * bs, min((b + 1) * bs, n)) for b in range(num)]
+
+    def epoch(self, epoch: int = 0, start_step: int = 0) -> Iterator[dict]:
+        """Iterate batches of one epoch with threaded prefetch.
+
+        `start_step` resumes mid-epoch (deterministic data checkpointing).
+        """
+        order = self._epoch_order(epoch)
+        batches = self._batch_indices(epoch)[start_step:]
+        if not batches:
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce(batch_ids):
+            imgs, bs, ls, ms = [], [], [], []
+            for i in batch_ids:
+                img, boxes, labels = self._make_sample(epoch, i, order)
+                b, l, m = self._pad_targets(boxes, labels)
+                imgs.append(img)
+                bs.append(b)
+                ls.append(l)
+                ms.append(m)
+            # pad short (final) batch to full batch size with zero images
+            pad = self.batch_size - len(imgs)
+            valid = len(imgs)
+            for _ in range(pad):
+                imgs.append(np.zeros_like(imgs[0]))
+                bs.append(np.zeros_like(bs[0]))
+                ls.append(np.zeros_like(ls[0]))
+                ms.append(np.zeros_like(ms[0]))
+            return {
+                "images": np.stack(imgs),
+                "boxes": np.stack(bs),
+                "labels": np.stack(ls),
+                "mask": np.stack(ms),
+                "num_valid": valid,
+            }
+
+        def worker():
+            try:
+                for batch_ids in batches:
+                    if stop.is_set():
+                        break
+                    q.put(produce(list(batch_ids)))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,12 @@
+from yolo_ms_tpu.nn.blocks import (  # noqa: F401
+    ConvBnSiLU,
+    Bottleneck,
+    C2f,
+    SPPF,
+    MSBlock,
+    MSSPPF,
+    MSFusion,
+    upsample2x,
+    dfl_expectation,
+    yolo_params,
+)

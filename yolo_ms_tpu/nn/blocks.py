@@ -1,0 +1,321 @@
+"""L1 primitive blocks — pure-functional flax.linen modules, NHWC layout.
+
+TPU-first rebuild of the reference building blocks
+(/root/reference/yolov8/model/components.py:69-209). Same math, different
+design: NHWC tensors (lane dimension = channels, friendly to the 8x128 VPU /
+128x128 MXU tiling), configurable compute dtype (bfloat16 on TPU), and pure
+functions of a parameter pytree so everything composes under ``jax.jit`` /
+``jax.grad`` / sharding.
+
+Semantics pinned to the reference:
+- ``ConvBnSiLU``  == Conv2d(bias=False) + BatchNorm2d(eps=1e-3, momentum=0.03)
+  + SiLU (components.py:69-77). torch momentum 0.03 == flax momentum 0.97.
+- ``C2f`` preserves the reference's *reverse-insert* concat order
+  (components.py:118): [y_n, ..., y_1, x1, x2] along channels.
+- ``SPPF`` = 1x1 reduce -> 3 chained 5x5/s1 maxpools -> concat -> 1x1
+  (components.py:125-150).
+- ``upsample2x`` nearest-neighbor pixel duplication (components.py:153-160).
+- ``dfl_expectation`` softmax-expectation over reg_max bins — equivalent to the
+  frozen arange conv in components.py:162-191, expressed as a fused
+  softmax+dot that XLA maps onto the VPU/MXU directly.
+
+MS-family blocks (MSBlock / MSSPPF / MSFusion) implement the YOLO-MS
+architecture sketched in the reference docs (annotations.md:66-133,
+model_zoos.md tables); the reference ships no code for them, so these follow
+the published YOLO-MS design: hierarchical multi-branch blocks with inverted
+depthwise bottlenecks and heterogeneous kernel sizes across stages.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# BatchNorm constants pinned to the reference (components.py:73).
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.97  # flax decay == 1 - torch momentum (0.03)
+
+
+def yolo_params(version: str) -> tuple[float, float, float]:
+    """(depth, width, ratio) multipliers per model version.
+
+    Mirrors the architecture table at components.py:193-209.
+    """
+    table = {
+        "n": (1 / 3, 1 / 4, 2.0),
+        "s": (1 / 3, 1 / 2, 2.0),
+        "m": (2 / 3, 3 / 4, 1.5),
+        "l": (1.0, 1.0, 1.0),
+        "x": (1.0, 1.25, 1.0),
+    }
+    if version not in table:
+        raise ValueError(f"Unknown YOLOv8 version: {version}")
+    return table[version]
+
+
+class ConvBnSiLU(nn.Module):
+    """Conv2d(bias=False) -> BatchNorm -> SiLU (optional identity activation).
+
+    The universal primitive (components.py:69-77). NHWC; weights HWIO.
+    XLA fuses the BN scale/shift and SiLU into the convolution epilogue, and
+    at inference BN can be folded into the conv weights (see
+    ``yolo_ms_tpu.utils.fold``) so the hot path is a single MXU op.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            axis_name=None,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """Two 3x3 ConvBnSiLU with optional residual add (components.py:80-93)."""
+
+    features: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        y = ConvBnSiLU(self.features, 3, dtype=self.dtype, name="conv1")(x, train=train)
+        y = ConvBnSiLU(self.features, 3, dtype=self.dtype, name="conv2")(y, train=train)
+        if self.shortcut:
+            y = y + x
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage-partial block with 2 convolutions (components.py:96-122).
+
+    1x1 conv -> split channels in half -> chain of bottlenecks on the first
+    half, intermediate outputs concatenated in REVERSE-INSERT order
+    [y_n, ..., y_1, x1, x2] to match components.py:118 exactly (this ordering
+    matters for weight-parity with reference checkpoints) -> 1x1 conv out.
+    """
+
+    features: int
+    num_bottlenecks: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        mid = self.features // 2
+        x = ConvBnSiLU(self.features, 1, dtype=self.dtype, name="conv1")(x, train=train)
+        x1, x2 = x[..., :mid], x[..., mid:]
+        outputs = [x1, x2]
+        for i in range(self.num_bottlenecks):
+            x1 = Bottleneck(mid, shortcut=self.shortcut, dtype=self.dtype, name=f"m_{i}")(
+                x1, train=train
+            )
+            outputs.insert(0, x1)
+        y = jnp.concatenate(outputs, axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="conv2")(y, train=train)
+
+
+def maxpool_same(x: jax.Array, window: int) -> jax.Array:
+    """Stride-1 same-padded max pool via XLA reduce_window (MaxPool2d equiv).
+
+    Replaces the delegated ATen MaxPool2d kernel (components.py:136) with the
+    XLA-native reduce_window, which the TPU backend lowers to fused VPU code.
+    """
+    pad = window // 2
+    neg_inf = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    )
+    return jax.lax.reduce_window(
+        x,
+        neg_inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): components.py:125-150."""
+
+    features: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        hidden = x.shape[-1] // 2
+        x = ConvBnSiLU(hidden, 1, dtype=self.dtype, name="conv1")(x, train=train)
+        x1 = maxpool_same(x, self.kernel_size)
+        x2 = maxpool_same(x1, self.kernel_size)
+        x3 = maxpool_same(x2, self.kernel_size)
+        y = jnp.concatenate([x, x1, x2, x3], axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="conv2")(y, train=train)
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample, NHWC (components.py:153-160 equivalent).
+
+    Pure reshape/broadcast — zero FLOPs, no gather; XLA lowers this to a
+    layout change that usually fuses with the consumer.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def dfl_expectation(dist: jax.Array) -> jax.Array:
+    """Distribution -> coordinate expectation (components.py:162-191).
+
+    dist: [..., 4, reg_max] logits over bins for each of the 4 ltrb sides.
+    Returns [..., 4]: softmax expectation sum_i(i * p_i). This replaces the
+    reference's frozen arange-weighted 1x1 conv with a fused softmax+dot.
+    """
+    reg_max = dist.shape[-1]
+    probs = jax.nn.softmax(dist, axis=-1)
+    bins = jnp.arange(reg_max, dtype=probs.dtype)
+    return jnp.einsum("...c,c->...", probs, bins)
+
+
+# --------------------------------------------------------------------------
+# YOLO-MS family blocks (annotations.md:66-133; no reference code exists —
+# implemented from the published YOLO-MS design).
+# --------------------------------------------------------------------------
+
+
+class InvertedBottleneck(nn.Module):
+    """1x1 expand -> kxk depthwise -> 1x1 project, all ConvBnSiLU."""
+
+    features: int
+    kernel_size: int
+    expansion: float = 2.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        hidden = int(self.features * self.expansion)
+        y = ConvBnSiLU(hidden, 1, dtype=self.dtype, name="expand")(x, train=train)
+        y = ConvBnSiLU(
+            hidden, self.kernel_size, groups=hidden, dtype=self.dtype, name="dw"
+        )(y, train=train)
+        y = ConvBnSiLU(self.features, 1, dtype=self.dtype, name="project")(y, train=train)
+        return y
+
+
+class MSBlock(nn.Module):
+    """Multi-scale block — hierarchical branch aggregation (YOLO-MS).
+
+    in 1x1 conv -> split into ``num_branches`` channel groups; group 0 passes
+    through, each later group goes through an inverted depthwise bottleneck
+    after adding the previous branch output (Res2Net-style progressive
+    receptive field growth) -> concat -> out 1x1 conv. Kernel size is chosen
+    per stage (heterogeneous-kernel-size protocol: small kernels shallow,
+    large kernels deep). Replaces C2f in the MS backbone/neck
+    (annotations.md:76-115).
+    """
+
+    features: int
+    kernel_size: int = 3
+    num_branches: int = 3
+    branch_ratio: float = 1.0
+    expansion: float = 2.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        bc = max(8, int(self.features * self.branch_ratio / self.num_branches))
+        x = ConvBnSiLU(bc * self.num_branches, 1, dtype=self.dtype, name="in_conv")(
+            x, train=train
+        )
+        chunks = [
+            x[..., i * bc : (i + 1) * bc] for i in range(self.num_branches)
+        ]
+        outs = [chunks[0]]
+        prev = chunks[0]
+        for i in range(1, self.num_branches):
+            y = chunks[i] + prev
+            y = InvertedBottleneck(
+                bc,
+                kernel_size=self.kernel_size,
+                expansion=self.expansion,
+                dtype=self.dtype,
+                name=f"branch_{i}",
+            )(y, train=train)
+            outs.append(y)
+            prev = y
+        y = jnp.concatenate(outs, axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="out_conv")(
+            y, train=train
+        )
+
+
+class MSSPPF(nn.Module):
+    """MS-flavoured SPPF: pooling pyramid with depthwise pre-mixing.
+
+    The reference only names MS-SPPF in its comparison diagram
+    (annotations.md:84); implemented as SPPF with a depthwise kxk mixer ahead
+    of the pooling chain, keeping the same pyramid semantics.
+    """
+
+    features: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        hidden = x.shape[-1] // 2
+        x = ConvBnSiLU(hidden, 1, dtype=self.dtype, name="conv1")(x, train=train)
+        x = ConvBnSiLU(hidden, 3, groups=hidden, dtype=self.dtype, name="dw")(
+            x, train=train
+        )
+        x1 = maxpool_same(x, self.kernel_size)
+        x2 = maxpool_same(x1, self.kernel_size)
+        x3 = maxpool_same(x2, self.kernel_size)
+        y = jnp.concatenate([x, x1, x2, x3], axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="conv2")(y, train=train)
+
+
+class MSFusion(nn.Module):
+    """Feature-map fusion for the MS neck (annotations.md:95-113).
+
+    Concatenates two maps along channels and mixes them with a 1x1 conv —
+    the MS replacement for the plain concat in the v8 PAFPN.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, a: jax.Array, b: jax.Array, *, train: bool = False
+    ) -> jax.Array:
+        y = jnp.concatenate([a, b], axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="fuse")(y, train=train)

@@ -1,0 +1,110 @@
+"""Task-Aligned assigner — dense, fully vectorized, jit-compatible.
+
+The reference's assigner is an admitted placeholder (loss.py:221-373 with the
+TODO at loss.py:774-775: "a proper TaskAlignedAssigner is needed"). This is
+that proper assigner, built for XLA: no per-image Python loops
+(loss.py:447 anti-pattern), no boolean indexing — everything is dense
+[B, M, A] masks over padded ground truth.
+
+Algorithm (task-aligned learning):
+  1. alignment metric  t = score^alpha * iou^beta  per (gt, anchor)
+  2. candidate anchors = centers inside the gt box
+  3. top-k candidates per gt by metric
+  4. conflicts (anchor claimed by >1 gt) resolved to the gt with highest IoU
+  5. targets: assigned gt box/label per anchor; target scores are the one-hot
+     class scaled by the normalized alignment metric (TAL soft labels)
+
+Shapes: B batch, M max_gt (padded; mask_gt marks real rows), A anchors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from yolo_ms_tpu.ops.iou import bbox_iou
+
+
+@partial(jax.jit, static_argnames=("topk", "alpha", "beta", "num_classes"))
+def task_aligned_assign(
+    pd_scores: jnp.ndarray,  # [B, A, nc] sigmoid class scores
+    pd_bboxes: jnp.ndarray,  # [B, A, 4] decoded boxes, xyxy, pixels
+    anchor_points: jnp.ndarray,  # [A, 2] anchor centers, pixels
+    gt_labels: jnp.ndarray,  # [B, M] int class ids (padding rows arbitrary)
+    gt_bboxes: jnp.ndarray,  # [B, M, 4] xyxy pixels (padding rows zeros)
+    mask_gt: jnp.ndarray,  # [B, M] bool validity of gt rows
+    num_classes: int,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+):
+    """Returns (target_labels [B,A], target_bboxes [B,A,4],
+    target_scores [B,A,nc], fg_mask [B,A] bool)."""
+    a = pd_scores.shape[1]
+    m = gt_bboxes.shape[1]
+
+    # --- candidate mask: anchor center strictly inside gt box [B, M, A] ---
+    ap = anchor_points[None, None]  # [1,1,A,2]
+    lt = ap - gt_bboxes[..., None, :2]  # x - x1, y - y1
+    rb = gt_bboxes[..., None, 2:] - ap  # x2 - x, y2 - y
+    in_gts = jnp.minimum(lt.min(-1), rb.min(-1)) > eps  # [B, M, A]
+    mask_in = in_gts & mask_gt[..., None]
+
+    # --- alignment metric [B, M, A] ---
+    ious = bbox_iou(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
+    )
+    ious = jnp.clip(ious, 0.0)
+    gt_cls = jnp.clip(gt_labels, 0, num_classes - 1).astype(jnp.int32)
+    # score of each anchor for its gt's class: [B, M, A]
+    cls_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1),  # [B, nc, A]
+        gt_cls[..., None],  # [B, M, 1]
+        axis=1,
+    )
+    metric = (cls_scores**alpha) * (ious**beta)
+    metric = jnp.where(mask_in, metric, 0.0)
+
+    # --- top-k per gt [B, M, A] -> mask of selected anchors ---
+    k = min(topk, a)
+    topk_vals, topk_idx = jax.lax.top_k(metric, k)  # over last axis (A)
+    topk_valid = topk_vals > eps
+    onehot = jax.nn.one_hot(topk_idx, a, dtype=jnp.bool_)  # [B, M, k, A]
+    sel = jnp.any(onehot & topk_valid[..., None], axis=2)  # [B, M, A]
+    mask_pos = sel & mask_in
+
+    # --- conflict resolution: anchor claimed by multiple gts -> max IoU ---
+    claimed = mask_pos.sum(axis=1)  # [B, A] number of gts claiming anchor
+    ious_masked = jnp.where(mask_pos, ious, -1.0)
+    best_gt = jnp.argmax(ious_masked, axis=1)  # [B, A]
+    keep_one = jax.nn.one_hot(best_gt, m, dtype=jnp.bool_).transpose(0, 2, 1)
+    mask_pos = jnp.where((claimed > 1)[:, None, :], mask_pos & keep_one, mask_pos)
+
+    fg_mask = mask_pos.any(axis=1)  # [B, A]
+    assigned_gt = jnp.argmax(mask_pos, axis=1)  # [B, A] (0 when bg; gated by fg)
+
+    # --- gather targets ---
+    target_labels = jnp.take_along_axis(gt_cls, assigned_gt, axis=1)  # [B, A]
+    target_bboxes = jnp.take_along_axis(
+        gt_bboxes, assigned_gt[..., None], axis=1
+    )  # [B, A, 4]
+
+    # --- TAL soft scores: one-hot * normalized metric ---
+    # per-gt max metric and max iou over its positive anchors
+    metric_pos = jnp.where(mask_pos, metric, 0.0)
+    iou_pos = jnp.where(mask_pos, ious, 0.0)
+    gt_max_metric = metric_pos.max(axis=2, keepdims=True)  # [B, M, 1]
+    gt_max_iou = iou_pos.max(axis=2, keepdims=True)
+    norm_metric = metric_pos * gt_max_iou / (gt_max_metric + eps)  # [B, M, A]
+    anchor_score = norm_metric.max(axis=1)  # [B, A]
+
+    target_scores = (
+        jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
+        * anchor_score[..., None]
+    )
+    target_scores = jnp.where(fg_mask[..., None], target_scores, 0.0)
+
+    return target_labels, target_bboxes, target_scores, fg_mask
