@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): COCO-val-style inference throughput,
+images/sec/chip at 640x640 — the FULL serving pipeline on device: uint8
+normalize -> model forward (bfloat16) -> DFL decode -> batched class-aware
+NMS. Measured on YOLO-MS-XS (the reference zoo's flagship,
+model_zoos.md:20-33) at batch 32.
+
+Methodology: K pipeline iterations run inside ONE on-device lax.scan with
+per-iteration input mutation, and a scalar reduced from every iteration's
+detections is fetched at the end. This measures pure chip throughput and is
+immune to two artifacts of the remote-TPU tunnel discovered during bring-up:
+(a) block_until_ready does not actually synchronize (only device_get does),
+(b) repeated identical dispatches can be cached by the relay.
+
+vs_baseline: ratio against the reference implementation's runnable
+configuration on this host — PyTorch CPU eval forward, YOLOv8-n bs=1 @640,
+measured at 7.48 img/s (2026-08-16, torch 2.13 CPU; forward only, which
+FAVORS the reference since our number includes normalize+decode+NMS).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_CPU_IMG_PER_S = 7.48  # see module docstring
+
+ARCH = "yolo-ms-xs"
+BATCH = 32
+NUM_CLASSES = 80
+K = 10  # scan iterations per timed dispatch
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from yolo_ms_tpu.models.decode import decode_predictions
+    from yolo_ms_tpu.models.registry import build_model, init_model
+    from yolo_ms_tpu.ops.nms import batched_nms
+    from yolo_ms_tpu.utils.profiler import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    model = build_model(ARCH, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
+    variables = init_model(model, jax.random.PRNGKey(0), (640, 640))
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
+    std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
+
+    def pipeline(v, images_u8):
+        x = images_u8.astype(jnp.bfloat16) / 255.0
+        x = (x - mean) / std
+        raw = model.apply(v, x, train=False)
+        preds = decode_predictions(raw, NUM_CLASSES)
+        out = batched_nms(preds.astype(jnp.float32))
+        return out["scores"].sum() + out["boxes"].sum()
+
+    @jax.jit
+    def timed(v, images_u8):
+        def body(carry, i):
+            imgs = images_u8 + i.astype(jnp.uint8)  # vary inputs per iter
+            return carry + pipeline(v, imgs), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(K))
+        return acc
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (BATCH, 640, 640, 3), dtype=np.uint8))
+    )
+
+    _ = jax.device_get(timed(variables, images))  # compile + warmup
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = jax.device_get(timed(variables, images))
+        times.append((time.perf_counter() - t0) / K)
+    per_batch = min(times)
+    img_per_s = BATCH / per_batch
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"{ARCH} end-to-end inference throughput "
+                    f"(bs={BATCH}, 640x640, bf16, on-device normalize+decode+NMS)"
+                ),
+                "value": round(img_per_s, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_s / REFERENCE_CPU_IMG_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Config schema, optimizer/scheduler factories, freeze masking, mAP metric."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from yolo_ms_tpu.eval.coco_map import MeanAveragePrecision
+from yolo_ms_tpu.train.optim import build_optimizer, build_schedule, freeze_mask
+from yolo_ms_tpu.utils.config import Config, load_config
+
+
+REFERENCE_YAML = """
+dataset:
+  train_images_path: "x/train"
+  train_annotations_path: "x/train.json"
+  val_images_path: "x/val"
+  val_annotations_path: "x/val.json"
+  num_classes: 1
+  class_names: ["tree"]
+model:
+  architecture: "n"
+  input_size: [640, 640]
+training:
+  pretrained_weights: null
+  freeze_layers: []
+  batch_size: 16
+  learning_rate: 0.001
+  optimizer: "adam"
+  adam_betas: [0.9, 0.999]
+  sgd_momentum: 0.937
+  sgd_nesterov: True
+  weight_decay: 0.0005
+  epochs: 100
+  val_interval: 1
+  experiment_name: "yolo_ms_exp"
+  scheduler:
+    type: "cosine"
+    step_lr_size: 30
+    step_lr_gamma: 0.1
+    cosine_t_max: 100
+    cosine_eta_min: 0.00001
+  save_period: 10
+  log_dir: "runs/train/exp"
+  seed: 42
+  augmentation:
+    hsv_h: 0.015
+    hsv_s: 0.7
+    hsv_v: 0.4
+    fliplr: 0.5
+    mosaic: 1.0
+    mixup: 0.0
+evaluation:
+  batch_size: 32
+  iou_threshold: 0.5
+  confidence_threshold: 0.25
+testing:
+  confidence_threshold: 0.25
+device: "cpu"
+workers: 4
+loss:
+  alpha: 0.25
+  gamma: 1.5
+  box_weight: 7.5
+  cls_weight: 0.5
+"""
+
+
+class TestConfig:
+    def test_reference_schema_loads(self, tmp_path):
+        """A reference-format YAML (coco_yolov8.yaml schema) loads 1:1."""
+        p = tmp_path / "ref.yaml"
+        p.write_text(REFERENCE_YAML)
+        cfg = load_config(str(p))
+        assert cfg.dataset.num_classes == 1
+        assert cfg.dataset.class_names == ["tree"]
+        assert cfg.model.architecture == "n"
+        assert cfg.training.batch_size == 16
+        assert cfg.training.scheduler.type == "cosine"
+        assert cfg.training.scheduler.cosine_t_max == 100
+        assert cfg.training.augmentation.fliplr == 0.5
+        assert cfg.training.augmentation.mosaic == 1.0
+        assert cfg.loss.box_weight == 7.5
+        assert cfg.evaluation.confidence_threshold == 0.25
+        assert cfg.workers == 4
+
+    def test_defaults(self):
+        cfg = Config.from_dict({})
+        assert cfg.model.architecture == "n"
+        assert cfg.training.optimizer == "adam"
+        assert cfg.dataset.resolved_class_names()[0] == "class_0"
+
+    def test_save_roundtrip(self, tmp_path):
+        cfg = Config.from_dict({"model": {"architecture": "s"}})
+        p = tmp_path / "out.yaml"
+        cfg.save(str(p))
+        cfg2 = load_config(str(p))
+        assert cfg2.model.architecture == "s"
+
+
+class TestSchedules:
+    def test_cosine(self):
+        from yolo_ms_tpu.utils.config import TrainingConfig, SchedulerConfig
+
+        tc = TrainingConfig(
+            learning_rate=0.1, epochs=10,
+            scheduler=SchedulerConfig(type="cosine", cosine_t_max=10, cosine_eta_min=0.001),
+        )
+        sched = build_schedule(tc, steps_per_epoch=10)
+        assert abs(float(sched(0)) - 0.1) < 1e-6
+        assert float(sched(100)) == pytest.approx(0.001, rel=1e-2)
+        assert float(sched(50)) < 0.1
+
+    def test_step(self):
+        from yolo_ms_tpu.utils.config import TrainingConfig, SchedulerConfig
+
+        tc = TrainingConfig(
+            learning_rate=0.1, epochs=90,
+            scheduler=SchedulerConfig(type="step", step_lr_size=30, step_lr_gamma=0.1),
+        )
+        sched = build_schedule(tc, steps_per_epoch=1)
+        assert float(sched(0)) == pytest.approx(0.1)
+        assert float(sched(31)) == pytest.approx(0.01)
+        assert float(sched(61)) == pytest.approx(0.001)
+
+    def test_unknown_raises(self):
+        from yolo_ms_tpu.utils.config import TrainingConfig, SchedulerConfig
+
+        with pytest.raises(ValueError):
+            build_schedule(
+                TrainingConfig(scheduler=SchedulerConfig(type="exotic")), 1
+            )
+
+
+class TestOptim:
+    def test_freeze_mask_substring(self):
+        params = {
+            "backbone": {"conv0": {"kernel": jnp.ones((3,))}},
+            "head": {"pred": {"kernel": jnp.ones((3,))}},
+        }
+        mask = freeze_mask(params, ["backbone"])
+        assert mask["backbone"]["conv0"]["kernel"] is False
+        assert mask["head"]["pred"]["kernel"] is True
+
+    def test_frozen_params_do_not_update(self):
+        from yolo_ms_tpu.utils.config import TrainingConfig
+
+        params = {
+            "backbone": {"w": jnp.ones((4,))},
+            "head": {"w": jnp.ones((4,))},
+        }
+        tc = TrainingConfig(
+            optimizer="sgd", learning_rate=0.1, weight_decay=0.0,
+            freeze_layers=["backbone"], sgd_momentum=0.0,
+        )
+        tx, _ = build_optimizer(tc, 1, params=params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(new["backbone"]["w"]), 1.0)
+        assert float(new["head"]["w"][0]) != 1.0
+
+    def test_adam_l2_matches_torch_semantics(self):
+        """weight_decay adds wd*param to the gradient (torch Adam, not AdamW)."""
+        from yolo_ms_tpu.utils.config import TrainingConfig, SchedulerConfig
+
+        import torch
+
+        p0 = 0.7
+        g = 0.3
+        wd, lr = 0.01, 0.1
+        tc = TrainingConfig(
+            optimizer="adam", learning_rate=lr, weight_decay=wd,
+            scheduler=SchedulerConfig(type="none"),
+        )
+        params = {"w": jnp.asarray([p0])}
+        tx, _ = build_optimizer(tc, 1)
+        state = tx.init(params)
+        new = params
+        for _ in range(3):
+            updates, state = tx.update({"w": jnp.asarray([g])}, state, new)
+            new = optax.apply_updates(new, updates)
+
+        tp = torch.nn.Parameter(torch.tensor([p0]))
+        opt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+        for _ in range(3):
+            opt.zero_grad()
+            tp.grad = torch.tensor([g])
+            opt.step()
+        np.testing.assert_allclose(
+            np.asarray(new["w"]), tp.detach().numpy(), rtol=1e-4
+        )
+
+
+class TestMAP:
+    def test_perfect_predictions(self):
+        m = MeanAveragePrecision(iou_thresholds=[0.5])
+        boxes = np.asarray([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32)
+        labels = np.asarray([0, 1])
+        m.update(
+            [{"boxes": boxes, "scores": np.asarray([0.9, 0.8]), "labels": labels}],
+            [{"boxes": boxes, "labels": labels}],
+        )
+        r = m.compute()
+        assert r["map_50"] == pytest.approx(1.0, abs=0.02)
+
+    def test_all_wrong(self):
+        m = MeanAveragePrecision(iou_thresholds=[0.5])
+        m.update(
+            [
+                {
+                    "boxes": np.asarray([[100, 100, 110, 110]], np.float32),
+                    "scores": np.asarray([0.9]),
+                    "labels": np.asarray([0]),
+                }
+            ],
+            [{"boxes": np.asarray([[0, 0, 10, 10]], np.float32), "labels": np.asarray([0])}],
+        )
+        assert m.compute()["map_50"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_half_right(self):
+        m = MeanAveragePrecision(iou_thresholds=[0.5])
+        gt = np.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        pred = np.asarray([[0, 0, 10, 10], [200, 200, 210, 210]], np.float32)
+        m.update(
+            [{"boxes": pred, "scores": np.asarray([0.9, 0.8]), "labels": np.asarray([0, 0])}],
+            [{"boxes": gt, "labels": np.asarray([0, 0])}],
+        )
+        r = m.compute()
+        # 1 TP @ recall 0.5 with precision 1, then FP: AP ~ 0.5
+        assert 0.4 < r["map_50"] < 0.6
+
+    def test_score_ordering_matters(self):
+        """A high-scored FP before the TP drags precision down."""
+        m = MeanAveragePrecision(iou_thresholds=[0.5])
+        gt = np.asarray([[0, 0, 10, 10]], np.float32)
+        pred = np.asarray([[100, 100, 110, 110], [0, 0, 10, 10]], np.float32)
+        m.update(
+            [{"boxes": pred, "scores": np.asarray([0.95, 0.9]), "labels": np.asarray([0, 0])}],
+            [{"boxes": gt, "labels": np.asarray([0])}],
+        )
+        r1 = m.compute()["map_50"]
+        assert r1 == pytest.approx(0.5, abs=0.02)
+
+    def test_matches_torchmetrics_protocol_on_random(self):
+        """Cross-check against torchmetrics if available (the reference's
+        metric backend, train.py:41-47)."""
+        tm = pytest.importorskip("torchmetrics.detection")
+        import torch
+
+        rng = np.random.default_rng(3)
+        ours = MeanAveragePrecision(iou_thresholds=[0.5])
+        ref = tm.MeanAveragePrecision(
+            box_format="xyxy", iou_type="bbox", iou_thresholds=[0.5]
+        )
+        for _ in range(4):
+            n_gt, n_pred = 5, 12
+            gt = rng.uniform(0, 200, (n_gt, 2))
+            gt = np.concatenate([gt, gt + rng.uniform(10, 50, (n_gt, 2))], -1).astype(np.float32)
+            gl = rng.integers(0, 3, n_gt)
+            pb = rng.uniform(0, 200, (n_pred, 2))
+            pb = np.concatenate([pb, pb + rng.uniform(10, 50, (n_pred, 2))], -1).astype(np.float32)
+            # make some predictions overlap GT
+            pb[:n_gt] = gt + rng.normal(0, 3, (n_gt, 4)).astype(np.float32)
+            ps = rng.uniform(0.1, 1.0, n_pred).astype(np.float32)
+            pl = np.concatenate([gl, rng.integers(0, 3, n_pred - n_gt)])
+            ours.update(
+                [{"boxes": pb, "scores": ps, "labels": pl}],
+                [{"boxes": gt, "labels": gl}],
+            )
+            ref.update(
+                [{"boxes": torch.tensor(pb), "scores": torch.tensor(ps), "labels": torch.tensor(pl)}],
+                [{"boxes": torch.tensor(gt), "labels": torch.tensor(gl)}],
+            )
+        got = ours.compute()["map_50"]
+        want = float(ref.compute()["map_50"])
+        assert got == pytest.approx(want, abs=0.03)

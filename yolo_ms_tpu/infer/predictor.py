@@ -1,0 +1,217 @@
+"""Inference pipeline: preprocess -> jit(forward+decode+NMS) -> outputs.
+
+Rebuild of the reference inference entry (tools/test.py:63-276) with the
+post-process moved on-device: ONE jitted graph covers normalize -> model ->
+decode -> batched NMS, and only fixed-size [max_det] detection tensors return
+to the host (vs the reference's per-class Python NMS loops + .cpu() transfers,
+tools/test.py:192-218).
+
+Host work parity:
+- preprocess: plain resize to input_size + ImageNet normalize — exact
+  reference semantics (tools/test.py:114-119, including *resize, not
+  letterbox*),
+- box rescale from model scale to original image size (tools/test.py:221-229),
+- drawing (green boxes + labels, tools/test.py:19-61) and per-image JSON dump
+  with the same record schema (tools/test.py:254-273).
+
+Batched streaming: a directory of images runs through the SAME compiled
+graph in fixed-size batches (the reference is batch=1 per image,
+tools/test.py:138).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from yolo_ms_tpu.data.decode import decode_and_resize, decode_image
+from yolo_ms_tpu.models.decode import decode_predictions
+from yolo_ms_tpu.models.registry import build_model
+from yolo_ms_tpu.ops.nms import batched_nms
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
+
+
+class Predictor:
+    def __init__(
+        self,
+        architecture: str,
+        variables,
+        num_classes: int,
+        class_names: list[str] | None = None,
+        input_size: tuple[int, int] = (640, 640),
+        conf_thresh: float = 0.25,
+        iou_thresh: float = 0.45,
+        max_det: int = 300,
+        batch_size: int = 1,
+        reg_max: int = 16,
+        dtype=jnp.float32,
+    ):
+        self.model = build_model(
+            architecture, num_classes=num_classes, reg_max=reg_max, dtype=dtype
+        )
+        self.variables = variables
+        self.num_classes = num_classes
+        self.class_names = class_names or [f"class_{i}" for i in range(num_classes)]
+        self.input_size = tuple(input_size)
+        self.conf_thresh = conf_thresh
+        self.iou_thresh = iou_thresh
+        self.max_det = max_det
+        self.batch_size = batch_size
+        self.reg_max = reg_max
+        self._infer = jax.jit(self._infer_impl)
+
+    def _infer_impl(self, variables, images_u8):
+        """images_u8: [B, H, W, 3] uint8 -> NMS outputs. Normalization runs
+        on-device so only uint8 pixels cross the host->device boundary
+        (3/4 of the transfer bytes of float32)."""
+        x = images_u8.astype(self.model.dtype) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN, self.model.dtype)) / jnp.asarray(
+            IMAGENET_STD, self.model.dtype
+        )
+        raw = self.model.apply(variables, x, train=False)
+        preds = decode_predictions(raw, self.num_classes, self.reg_max)
+        return batched_nms(
+            preds.astype(jnp.float32),
+            conf_thresh=self.conf_thresh,
+            iou_thresh=self.iou_thresh,
+            max_det=self.max_det,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def predict_batch(self, images_u8: np.ndarray):
+        """images_u8: [B, H, W, 3] uint8 at input_size. Returns host dict."""
+        out = self._infer(self.variables, jnp.asarray(images_u8))
+        return jax.device_get(out)
+
+    def predict_image(self, image_rgb: np.ndarray):
+        """Single original-size RGB image -> list of detection dicts
+        (rescaled to original size, reference JSON schema)."""
+        import cv2
+
+        oh, ow = image_rgb.shape[:2]
+        ih, iw = self.input_size
+        resized = cv2.resize(image_rgb, (iw, ih), interpolation=cv2.INTER_LINEAR)
+        out = self.predict_batch(resized[None])
+        return self._to_detections(out, 0, (ow, oh))
+
+    def _to_detections(self, out, i: int, orig_wh: tuple[int, int]):
+        ow, oh = orig_wh
+        ih, iw = self.input_size
+        sx, sy = ow / iw, oh / ih
+        dets = []
+        valid = out["valid"][i]
+        for j in np.nonzero(valid)[0]:
+            x1, y1, x2, y2 = out["boxes"][i, j]
+            cid = int(out["classes"][i, j])
+            dets.append(
+                {
+                    "box_xyxy": [
+                        round(float(x1 * sx), 2),
+                        round(float(y1 * sy), 2),
+                        round(float(x2 * sx), 2),
+                        round(float(y2 * sy), 2),
+                    ],
+                    "score": round(float(out["scores"][i, j]), 4),
+                    "class_id": cid,
+                    "class_name": self.class_names[cid]
+                    if cid < len(self.class_names)
+                    else f"class_{cid}",
+                }
+            )
+        return dets
+
+    # ------------------------------------------------------------------ #
+
+    def predict_paths(self, source_path: str, output_dir: str | None = None,
+                      save_images: bool = True, save_json: bool = True,
+                      verbose: bool = True):
+        """Directory-or-file inference with drawing + JSON, streaming in
+        fixed-size batches through one compiled graph.
+
+        Returns {image_path: [detections]}.
+        """
+        paths = find_images(source_path)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        ih, iw = self.input_size
+        results = {}
+        bs = self.batch_size
+        for start in range(0, len(paths), bs):
+            chunk = paths[start : start + bs]
+            batch = np.zeros((bs, ih, iw, 3), np.uint8)
+            metas = []
+            for k, p in enumerate(chunk):
+                img = decode_and_resize(p, ih, iw)
+                batch[k] = img
+                orig = decode_image(p)
+                metas.append((p, orig))
+            out = self.predict_batch(batch)
+            for k, (p, orig) in enumerate(metas):
+                dets = self._to_detections(out, k, (orig.shape[1], orig.shape[0]))
+                results[p] = dets
+                if verbose:
+                    print(f"{p}: {len(dets)} detections")
+                if output_dir:
+                    base = os.path.splitext(os.path.basename(p))[0]
+                    if save_images:
+                        drawn = draw_detections(orig, dets)
+                        import cv2
+
+                        cv2.imwrite(
+                            os.path.join(output_dir, f"{base}_detected.jpg"),
+                            cv2.cvtColor(drawn, cv2.COLOR_RGB2BGR),
+                        )
+                    if save_json:
+                        with open(
+                            os.path.join(output_dir, f"{base}_detections.json"), "w"
+                        ) as f:
+                            json.dump(dets, f, indent=4)
+        return results
+
+
+def find_images(source_path: str) -> list[str]:
+    """File or directory -> image paths (tools/test.py:122-135 semantics)."""
+    if os.path.isdir(source_path):
+        paths = []
+        for ext in IMAGE_EXTENSIONS:
+            paths.extend(glob.glob(os.path.join(source_path, f"*{ext}")))
+            paths.extend(glob.glob(os.path.join(source_path, f"*{ext.upper()}")))
+        if not paths:
+            raise FileNotFoundError(f"No images found in directory: {source_path}")
+        return sorted(set(paths))
+    if os.path.isfile(source_path):
+        return [source_path]
+    raise FileNotFoundError(
+        f"Source path not found or not a file/directory: {source_path}"
+    )
+
+
+def draw_detections(
+    image_rgb: np.ndarray, detections: list[dict], conf_thresh: float = 0.0
+) -> np.ndarray:
+    """Green boxes + filled label tags (tools/test.py:19-61 output style).
+    Operates on RGB; caller converts for cv2.imwrite."""
+    import cv2
+
+    img = image_rgb.copy()
+    for det in detections:
+        if det["score"] < conf_thresh:
+            continue
+        x1, y1, x2, y2 = map(int, det["box_xyxy"])
+        label = f"{det['class_name']}: {det['score']:.2f}"
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 255, 0), 2)
+        (lw, lh), baseline = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
+        cv2.rectangle(img, (x1, y1 - lh - baseline), (x1 + lw, y1), (0, 255, 0), -1)
+        cv2.putText(
+            img, label, (x1, y1 - baseline), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1
+        )
+    return img

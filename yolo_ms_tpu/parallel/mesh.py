@@ -1,0 +1,53 @@
+"""Device mesh + sharding rules — the distributed-communication layer.
+
+The reference has NO distributed backend (SURVEY.md §2.4: no
+torch.distributed/NCCL anywhere, only passive DataParallel-prefix tolerance).
+This module is the TPU-native equivalent layer, designed per the GSPMD
+recipe: pick a mesh, annotate array shardings, let XLA insert the ICI
+collectives.
+
+Data parallelism = batch dimension sharded over the 'data' mesh axis,
+parameters replicated. Under jit+GSPMD:
+- gradient all-reduce happens automatically (mean over the global batch is
+  compiled to a reduce-scatter/all-gather pair or all-reduce over ICI),
+- BatchNorm statistics are computed over the GLOBAL batch (jnp.mean over a
+  sharded axis is the global mean) — SyncBN without any extra code; this is
+  the TPU equivalent of the syncbn_fast configs in the reference's zoo
+  (model_zoos.md:28).
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
+same psum spans ICI within a slice and DCN across slices transparently.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all local (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Device-put a host batch (dict of arrays) with batch-dim sharding."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding)
+        if hasattr(x, "ndim") and x.ndim >= 1
+        else x,
+        batch,
+    )

@@ -1,0 +1,169 @@
+"""Checkpointing: Orbax save/restore + PyTorch .pt weight converter.
+
+Goes beyond the reference's save-only torch.save of bare state_dicts
+(train.py:410-425 — no optimizer/epoch state, so no true resume,
+SURVEY.md §5): checkpoints here carry params + batch_stats + opt_state +
+step/epoch + PRNG key, so training resumes exactly. Policies preserved:
+best.ckpt on metric improvement, last.ckpt every epoch, epoch_N every
+save_period.
+
+`torch_state_dict_to_variables` converts a reference-format .pt checkpoint
+(including 'model'/'state_dict' wrappers and the DataParallel 'module.'
+prefix, utils.py:54-67) into our flax variable pytree for parity testing and
+fine-tuning from reference weights. Layout transposes: torch conv OIHW ->
+flax HWIO; BN weight/bias -> scale/bias; running stats -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Orbax
+# --------------------------------------------------------------------------
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Save a pytree checkpoint (params/opt_state/step/...)."""
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+
+
+def restore_checkpoint(path: str, target: Any | None = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    if target is not None:
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)
+
+
+class CheckpointManager:
+    """best / last / periodic checkpoint policy (train.py:410-425 parity)."""
+
+    def __init__(self, directory: str, save_period: int = 10):
+        self.dir = os.path.abspath(directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.save_period = save_period
+        self.best_metric = float("-inf")
+
+    def on_epoch_end(self, state, epoch: int, metric: float | None = None):
+        save_checkpoint(os.path.join(self.dir, "last.ckpt"), state)
+        if (epoch + 1) % self.save_period == 0:
+            save_checkpoint(os.path.join(self.dir, f"epoch_{epoch + 1}.ckpt"), state)
+        if metric is not None and metric > self.best_metric:
+            self.best_metric = metric
+            save_checkpoint(os.path.join(self.dir, "best.ckpt"), state)
+            return True
+        return False
+
+
+# --------------------------------------------------------------------------
+# PyTorch .pt -> flax variables
+# --------------------------------------------------------------------------
+
+
+def _unwrap_state_dict(ckpt) -> dict:
+    if isinstance(ckpt, dict):
+        if "model" in ckpt and isinstance(ckpt["model"], dict):
+            ckpt = ckpt["model"]
+        elif "state_dict" in ckpt and isinstance(ckpt["state_dict"], dict):
+            ckpt = ckpt["state_dict"]
+    if any(k.startswith("module.") for k in ckpt):
+        ckpt = {k.removeprefix("module."): v for k, v in ckpt.items()}
+    return ckpt
+
+
+def _set(tree: dict, path: list[str], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+_SEQ_IDX_TO_NAME = {0: "conv1", 1: "conv2", 2: "pred"}
+
+
+def torch_state_dict_to_variables(state_dict: dict) -> dict:
+    """Map a reference-architecture torch state dict to flax variables.
+
+    Key grammar (reference module tree, yolov8.py:8-21):
+      backbone.(conv0|conv1|conv3|conv5|conv7).(conv|bn).*
+      backbone.(c2f_2|c2f_4|c2f_6|c2f_8).(conv1|conv2).(conv|bn).* | .m.{i}.conv{1,2}.(conv|bn).*
+      backbone.sppf.(conv1|conv2).(conv|bn).*
+      neck.(c2f_1..c2f_4) like c2f; neck.(conv1|conv2).(conv|bn).*
+      head.(box|cls).{lvl}.{0|1}.(conv|bn).* | .{2}.(weight|bias)   [branch seq]
+      head.dfl.conv.weight  -> dropped (frozen arange conv; decode is
+                               computed analytically in models/decode.py)
+    """
+    sd = _unwrap_state_dict(state_dict)
+    params: dict = {}
+    batch_stats: dict = {}
+
+    for key, tensor in sd.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+        parts = key.split(".")
+        if parts[0] == "head" and parts[1] == "dfl":
+            continue  # analytic in decode
+        if "num_batches_tracked" in key:
+            continue
+
+        # normalize head branch indices: head.box.0.1.bn.weight
+        if parts[0] == "head" and parts[1] in ("box", "cls"):
+            lvl, seq = parts[2], int(parts[3])
+            base = [parts[0], f"{parts[1]}_{lvl}", _SEQ_IDX_TO_NAME[seq]]
+            rest = parts[4:]
+            if seq == 2:  # plain Conv2d: weight/bias
+                name = rest[0]
+                if name == "weight":
+                    _set(params, base + ["kernel"], t.transpose(2, 3, 1, 0))
+                else:
+                    _set(params, base + ["bias"], t)
+                continue
+            parts = base + rest  # fall through to Conv/BN handling
+        else:
+            # C2f bottleneck list: ...m.{i}... -> m_{i}
+            parts = [
+                f"m_{parts[i + 1]}" if p == "m" and parts[i + 1].isdigit() else p
+                for i, p in enumerate(parts)
+            ]
+            parts = [p for i, p in enumerate(parts) if not (p.isdigit() and parts[i - 1].startswith("m_"))]
+
+        leaf = parts[-1]
+        mod = parts[-2]
+        base = parts[:-2]
+        if mod == "conv" and leaf == "weight":
+            _set(params, base + ["conv", "kernel"], t.transpose(2, 3, 1, 0))
+        elif mod == "bn":
+            if leaf == "weight":
+                _set(params, base + ["bn", "scale"], t)
+            elif leaf == "bias":
+                _set(params, base + ["bn", "bias"], t)
+            elif leaf == "running_mean":
+                _set(batch_stats, base + ["bn", "mean"], t)
+            elif leaf == "running_var":
+                _set(batch_stats, base + ["bn", "var"], t)
+        else:
+            raise KeyError(f"Unmapped torch key: {key}")
+
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pt file into flax variables (requires torch, CPU)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return torch_state_dict_to_variables(ckpt)
