@@ -58,6 +58,24 @@ def test_nms_fixed_matches_oracle(seed):
     assert got == expect
 
 
+def test_nms_fixed_equals_scan_on_suppression_chains():
+    """Adversarial chains (each box overlaps the next) exercise the iterative
+    refinement's worst case; must equal the sequential greedy scan."""
+    from yolo_ms_tpu.ops.nms import nms_greedy_scan
+
+    rng = np.random.default_rng(42)
+    for _ in range(3):
+        n = 128
+        cx = np.arange(n) * 8.0 + rng.uniform(-2, 2, n)
+        boxes = np.stack(
+            [cx, np.zeros(n), cx + 16, np.full(n, 16.0)], -1
+        ).astype(np.float32)
+        scores = np.sort(rng.uniform(0.1, 1, n))[::-1].astype(np.float32).copy()
+        a = np.asarray(nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.3))
+        b = np.asarray(nms_greedy_scan(jnp.asarray(boxes), jnp.asarray(scores), 0.3))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_nms_invalid_rows_never_kept():
     boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
     scores = jnp.asarray([0.9, -1.0])

@@ -50,31 +50,70 @@ def _pairwise_iou_xyxy(boxes: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     return inter / (a[:, None] + a[None, :] - inter + eps)
 
 
+def nms_greedy_scan(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thresh: float,
+) -> jnp.ndarray:
+    """Reference implementation: sequential greedy scan (N fori_loop steps).
+
+    Kept for testing; `nms_fixed` below computes the identical result with
+    MXU-friendly iterations.
+    """
+    n = boxes.shape[0]
+    overlap = _pairwise_iou_xyxy(boxes) > iou_thresh
+    idx = jnp.arange(n)
+    valid = scores > 0.0
+
+    def body(i, keep):
+        sup = jnp.any(overlap[i] & keep & (idx < i))
+        return keep.at[i].set(keep[i] & ~sup)
+
+    return jax.lax.fori_loop(0, n, body, valid)
+
+
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_thresh: float,
 ) -> jnp.ndarray:
-    """Exact greedy NMS over already score-sorted boxes.
+    """Exact greedy NMS over already score-sorted boxes — TPU-native.
 
     boxes: [N,4] xyxy sorted by descending score; scores: [N] (entries < 0
-    mark invalid/padding rows). Returns keep mask [N] (bool).
+    mark invalid/padding rows). Returns keep mask [N] (bool). Semantics
+    identical to torchvision.ops.nms greedy.
 
-    Greedy semantics identical to torchvision.ops.nms: a box is kept iff no
-    higher-scored *kept* box overlaps it above ``iou_thresh``.
+    Algorithm: iterated suppression-matrix refinement. Greedy keep is the
+    fixed point of
+        keep[i] <- valid[i] and not any_{j<i}(overlap[i,j] and keep[j])
+    starting from keep = valid. Each sweep is one [N,N]x[N] masked
+    mat-vec (MXU work) instead of N sequential scalar steps; real suppression
+    chains are short, so a handful of sweeps converge, and the while_loop
+    exits as soon as the mask stops changing (bounded by N sweeps, at which
+    point the result equals the sequential greedy scan by induction).
     """
     n = boxes.shape[0]
     iou = _pairwise_iou_xyxy(boxes)
-    overlap = iou > iou_thresh
-    idx = jnp.arange(n)
+    # strictly-lower-triangular overlap: j < i contributes to suppressing i
+    tri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) < jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 0
+    )
+    overlap = ((iou > iou_thresh) & tri).astype(jnp.float32)
     valid = scores > 0.0
 
-    def body(i, keep):
-        # Suppressed if any earlier kept box overlaps it.
-        sup = jnp.any(overlap[i] & keep & (idx < i))
-        return keep.at[i].set(keep[i] & ~sup)
+    def cond(state):
+        keep, prev, it = state
+        return (it < n) & jnp.any(keep != prev)
 
-    return jax.lax.fori_loop(0, n, body, valid)
+    def body(state):
+        keep, _, it = state
+        suppressed = (overlap @ keep.astype(jnp.float32)) > 0.0
+        return valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
+    )
+    return keep
 
 
 @partial(

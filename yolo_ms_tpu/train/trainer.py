@@ -55,10 +55,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
+    ema_params: Any = None  # exponential moving average (None = disabled)
 
 
-def make_train_step(model, loss_fn: DetectionLoss, tx):
-    """Build the pure train-step function (jit it with shardings outside)."""
+def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
+    """Build the pure train-step function (jit it with shardings outside).
+
+    ema_decay > 0 maintains an exponential moving average of the params
+    (standard detection-training practice; evaluated weights are the EMA).
+    """
 
     def train_step(state: TrainState, batch):
         def compute_loss(params):
@@ -88,11 +93,25 @@ def make_train_step(model, loss_fn: DetectionLoss, tx):
                 lambda n, o: jnp.where(good, n, o), new, old
             )
 
+        new_ema = state.ema_params
+        if ema_decay > 0.0 and state.ema_params is not None:
+            # warmup-aware decay (ramps in over the first ~2k steps)
+            d = ema_decay * (
+                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0)
+            )
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params,
+                new_params,
+            )
+            new_ema = pick(new_ema, state.ema_params)
+
         new_state = state.replace(
             params=pick(new_params, state.params),
             batch_stats=pick(new_bs, state.batch_stats),
             opt_state=pick(new_opt_state, state.opt_state),
             step=state.step + 1,
+            ema_params=new_ema,
         )
         metrics = dict(metrics)
         metrics["skipped_nonfinite"] = 1.0 - good.astype(jnp.float32)
@@ -182,7 +201,9 @@ class Trainer:
         self.repl = replicated_sharding(self.mesh)
         self.data_sh = batch_sharding(self.mesh)
 
-        step_fn = make_train_step(self.model, self.loss_fn, self.tx)
+        step_fn = make_train_step(
+            self.model, self.loss_fn, self.tx, ema_decay=tcfg.ema_decay
+        )
         batch_shardings = {
             "images": self.data_sh,
             "boxes": self.data_sh,
@@ -203,6 +224,11 @@ class Trainer:
             opt_state=self.tx.init(self.params),
             step=jnp.zeros((), jnp.int32),
             rng=rng,
+            ema_params=(
+                jax.tree_util.tree_map(lambda p: p, self.params)
+                if tcfg.ema_decay > 0
+                else None
+            ),
         )
         self.start_epoch = 0
 
@@ -260,9 +286,14 @@ class Trainer:
         img_h, img_w = self.img_size
         n_images = 0
         total_dets = 0
+        eval_params = (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
         for batch in self.val_loader.epoch(0):
             out = jax.device_get(
-                self._infer(self.state.params, self.state.batch_stats, batch["images"])
+                self._infer(eval_params, self.state.batch_stats, batch["images"])
             )
             nv = batch["num_valid"]
             preds, targets = [], []
@@ -306,13 +337,38 @@ class Trainer:
         self.state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
         self.start_epoch = int(restored["epoch"]) + 1
 
+    def _install_preemption_handler(self):
+        """Save a full-state checkpoint on SIGTERM/SIGINT before exiting —
+        the elastic-recovery hook the reference lacks (SURVEY.md §5)."""
+        import signal
+
+        def handler(signum, frame):
+            path = os.path.join(self.ckpt.dir, "preempt.ckpt")
+            print(f"\nSignal {signum}: saving preemption checkpoint to {path}")
+            from yolo_ms_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                path,
+                {"state": jax.device_get(self.state), "epoch": self._current_epoch},
+            )
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # not in main thread (e.g. under pytest workers)
+
     def fit(self) -> None:
         assert self.train_loader is not None, "no training dataset configured"
         tcfg = self.cfg.training
         steps_per_epoch = len(self.train_loader)
+        self._current_epoch = self.start_epoch
+        self._install_preemption_handler()
         print(f"Starting training for {tcfg.epochs} epochs ({steps_per_epoch} steps/epoch)")
 
         for epoch in range(self.start_epoch, tcfg.epochs):
+            self._current_epoch = epoch
             t0 = time.time()
             lr = float(self.lr_schedule(int(self.state.step)))
             self.logger.scalar("Training/Learning_Rate", lr, epoch)

@@ -110,6 +110,7 @@ class TrainingConfig:
     freeze_layers: list[str] = field(default_factory=list)
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     grad_clip_norm: float = 0.0  # 0 disables
+    ema_decay: float = 0.0  # e.g. 0.9999; 0 disables weight EMA
     extra: dict = field(default_factory=dict)
 
 
