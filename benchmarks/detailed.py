@@ -1,0 +1,192 @@
+"""Detailed benchmark suite — BASELINE.json configs, writes BENCH_DETAILS.json.
+
+Covers (BASELINE.json "configs"):
+  1. single-image (bs=1) inference, YOLO-MS-XS
+  2. batched inference bs=8/32, YOLO-MS S/M + YOLOv8 family
+  3. streaming preprocess (native decode throughput, host side)
+  4. end-to-end image-in -> boxes-out (normalize+forward+decode+NMS on device)
+  5. data-parallel training step (TAL + CIoU/DFL loss fwd/bwd)
+
+Methodology: on-device lax.scan loops with per-iteration input mutation +
+single device_get (see bench.py for why: the remote tunnel neither syncs on
+block_until_ready nor re-executes cached identical dispatches).
+
+Usage: python benchmarks/detailed.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def scan_time(fn, args, K=10, reps=3):
+    """Median per-iteration seconds of fn folded K times on device."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(*a):
+        def body(c, i):
+            return c + fn(i, *a), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(K))
+        return acc
+
+    _ = jax.device_get(loop(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = jax.device_get(loop(*args))
+        times.append((time.perf_counter() - t0) / K)
+    return min(times)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--out", default="BENCH_DETAILS.json")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from yolo_ms_tpu.models.decode import decode_predictions
+    from yolo_ms_tpu.models.registry import build_model, init_model
+    from yolo_ms_tpu.ops.nms import batched_nms
+    from yolo_ms_tpu.utils.profiler import enable_compilation_cache
+
+    enable_compilation_cache()
+    results = {"device": str(jax.devices()[0]), "dtype": "bfloat16"}
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
+    std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
+
+    def e2e_fn(model, nc):
+        def fn(i, v, images_u8):
+            x = (images_u8 + i.astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
+            x = (x - mean) / std
+            raw = model.apply(v, x, train=False)
+            preds = decode_predictions(raw, nc)
+            out = batched_nms(preds.astype(jnp.float32))
+            return out["scores"].sum()
+
+        return fn
+
+    def fwd_fn(model):
+        def fn(i, v, x):
+            raw = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-3, train=False)
+            return raw[0].mean().astype(jnp.float32)
+
+        return fn
+
+    rng = np.random.default_rng(0)
+    configs = [("yolo-ms-xs", 1), ("yolo-ms-xs", 32)]
+    if not args.quick:
+        configs += [
+            ("yolo-ms-s", 8),
+            ("yolo-ms-s", 32),
+            ("yolo-ms-m", 8),
+            ("yolo-ms-m", 32),
+            ("n", 32),
+            ("s", 32),
+        ]
+
+    inference = {}
+    for arch, bs in configs:
+        model = build_model(arch, num_classes=80, dtype=jnp.bfloat16)
+        v = init_model(model, jax.random.PRNGKey(0), (640, 640))
+        imgs = jax.device_put(
+            jnp.asarray(rng.integers(0, 256, (bs, 640, 640, 3), dtype=np.uint8))
+        )
+        x = imgs.astype(jnp.bfloat16) / 255.0
+        dt_fwd = scan_time(fwd_fn(model), (v, x))
+        dt_e2e = scan_time(e2e_fn(model, 80), (v, imgs))
+        inference[f"{arch}_bs{bs}"] = {
+            "forward_ms": round(dt_fwd * 1000, 2),
+            "forward_img_per_s": round(bs / dt_fwd, 1),
+            "e2e_ms": round(dt_e2e * 1000, 2),
+            "e2e_img_per_s": round(bs / dt_e2e, 1),
+        }
+        print(arch, bs, inference[f"{arch}_bs{bs}"], flush=True)
+    results["inference"] = inference
+
+    # ---- training step ----
+    from yolo_ms_tpu.train.loss import DetectionLoss
+    from yolo_ms_tpu.train.optim import build_optimizer
+    from yolo_ms_tpu.train.trainer import TrainState, make_train_step
+    from yolo_ms_tpu.utils.config import TrainingConfig
+
+    train_res = {}
+    for arch, bs in [("n", 32)] if args.quick else [("n", 32), ("yolo-ms-xs", 32)]:
+        model = build_model(arch, num_classes=80, dtype=jnp.bfloat16)
+        v = init_model(model, jax.random.PRNGKey(0), (640, 640))
+        loss_fn = DetectionLoss(num_classes=80)
+        tx, _ = build_optimizer(TrainingConfig(batch_size=bs, epochs=100), 100)
+        step = jax.jit(make_train_step(model, loss_fn, tx), donate_argnums=(0,))
+        state = TrainState(
+            params=v["params"],
+            batch_stats=v["batch_stats"],
+            opt_state=tx.init(v["params"]),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(0),
+        )
+        batch = {
+            "images": jnp.asarray(
+                rng.standard_normal((bs, 640, 640, 3)), jnp.float32
+            ),
+            "boxes": jnp.tile(jnp.asarray([0.5, 0.5, 0.3, 0.3]), (bs, 16, 1)),
+            "labels": jnp.zeros((bs, 16), jnp.int32),
+            "mask": jnp.tile(jnp.asarray([True] * 4 + [False] * 12), (bs, 1)),
+        }
+        state, m = step(state, batch)
+        _ = float(m["total_loss"])  # sync after compile
+        n_iter = 10
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, m = step(state, batch)
+        _ = float(m["total_loss"])  # chained states -> full sync
+        dt = (time.perf_counter() - t0) / n_iter
+        train_res[f"{arch}_bs{bs}"] = {
+            "step_ms": round(dt * 1000, 1),
+            "img_per_s": round(bs / dt, 1),
+        }
+        print("train", arch, bs, train_res[f"{arch}_bs{bs}"], flush=True)
+    results["train_step"] = train_res
+
+    # ---- host preprocess (native decode) ----
+    try:
+        import os
+        import tempfile
+
+        import cv2
+
+        from yolo_ms_tpu.data import native_loader as nl
+
+        if nl.available():
+            d = tempfile.mkdtemp()
+            img = rng.integers(0, 256, (2000, 3000, 3), dtype=np.uint8)
+            paths = []
+            for i in range(8):
+                p = os.path.join(d, f"{i}.jpg")
+                cv2.imwrite(p, img[:, :, ::-1])
+                paths.append(p)
+            t0 = time.perf_counter()
+            nl.decode_resize_batch(paths, 640, 640, num_threads=4)
+            dt = (time.perf_counter() - t0) / len(paths)
+            results["preprocess"] = {
+                "native_decode_resize_ms_per_3000x2000_jpeg": round(dt * 1000, 1)
+            }
+            print("preprocess", results["preprocess"], flush=True)
+    except Exception as e:
+        results["preprocess"] = {"error": str(e)}
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,13 +56,61 @@ def yolo_params(version: str) -> tuple[float, float, float]:
     return table[version]
 
 
+# Opt-in switch for the Pallas depthwise kernel (ops/pallas/depthwise.py).
+# Measured on v5e round 1: the whole-image-block kernel is SLOWER in-model
+# than XLA's grouped conv (yolo-ms-xs bs=32: 786 vs 1008 img/s — one grid
+# step per image costs more than the conv itself), so XLA stays the default
+# until the kernel batches several images per grid step.
+USE_PALLAS_DEPTHWISE = False
+
+
+class _DepthwiseConv(nn.Module):
+    """Stride-1 SAME depthwise conv with the same parameter layout as
+    nn.Conv (kernel [k, k, 1, C] HWIO under 'kernel') so checkpoints are
+    interchangeable. Optionally routes to the Pallas VMEM kernel on TPU
+    (see USE_PALLAS_DEPTHWISE above)."""
+
+    features: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, c = self.kernel_size, self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, 1, c), jnp.float32
+        )
+        from yolo_ms_tpu.ops.pallas.depthwise import depthwise_conv, pallas_viable
+
+        if (
+            USE_PALLAS_DEPTHWISE
+            and jax.default_backend() == "tpu"
+            and pallas_viable(x.shape[1], x.shape[2], c, k)
+        ):
+            return depthwise_conv(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype).reshape(k, k, c),
+                k,
+            )
+        pad = k // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (1, 1),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+
 class ConvBnSiLU(nn.Module):
     """Conv2d(bias=False) -> BatchNorm -> SiLU (optional identity activation).
 
     The universal primitive (components.py:69-77). NHWC; weights HWIO.
     XLA fuses the BN scale/shift and SiLU into the convolution epilogue, and
-    at inference BN can be folded into the conv weights (see
-    ``yolo_ms_tpu.utils.fold``) so the hot path is a single MXU op.
+    at inference BN can be folded into the conv weights so the hot path is a
+    single MXU op. Full-depthwise stride-1 convs route to the Pallas VMEM
+    kernel on TPU (ops/pallas/depthwise.py) when the shape qualifies.
     """
 
     features: int
@@ -75,16 +123,26 @@ class ConvBnSiLU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pad = self.kernel_size // 2
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        is_depthwise = (
+            self.groups == self.features
+            and self.groups == x.shape[-1]
+            and self.stride == 1
+        )
+        if is_depthwise:
+            x = _DepthwiseConv(
+                self.features, self.kernel_size, dtype=self.dtype, name="conv"
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

@@ -1,0 +1,60 @@
+"""Multi-host initialization — the cross-host (DCN) layer.
+
+The reference has no distributed backend at all (SURVEY.md §2.4). For TPU
+pods/multi-slice, call `maybe_initialize_distributed()` once at program
+start: on single-host it is a no-op; on multi-host environments (TPU pod
+slices expose coordinator env vars) it runs `jax.distributed.initialize`,
+after which `jax.devices()` spans all hosts and the same mesh/psum code
+covers ICI within a slice and DCN across slices transparently.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def maybe_initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize jax.distributed when running multi-host. Returns True if
+    initialization happened."""
+    import jax
+
+    explicit = coordinator_address is not None
+    env_driven = any(
+        os.environ.get(k)
+        for k in (
+            "COORDINATOR_ADDRESS",
+            "JAX_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
+    if not explicit and not env_driven:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except (RuntimeError, ValueError) as e:
+        # already initialized, or single-process run with stray env vars
+        if "already" in str(e).lower():
+            return True
+        print(f"jax.distributed.initialize skipped: {e}")
+        return False
+
+
+def process_info() -> dict:
+    import jax
+
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
