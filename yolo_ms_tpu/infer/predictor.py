@@ -131,6 +131,32 @@ class Predictor:
 
     # ------------------------------------------------------------------ #
 
+    def export_coco_json(self, results: dict, path: str,
+                         label2cat: dict | None = None) -> None:
+        """Write detections in COCO results format (list of
+        {image_id, category_id, bbox xywh, score}) for server submission —
+        the reference's noted-but-unimplemented TODO (annotations.md:42-43).
+        image_id is the file stem when not an int."""
+        records = []
+        for img_path, dets in results.items():
+            stem = os.path.splitext(os.path.basename(img_path))[0]
+            image_id = int(stem) if stem.isdigit() else stem
+            for d in dets:
+                x1, y1, x2, y2 = d["box_xyxy"]
+                cid = d["class_id"]
+                records.append(
+                    {
+                        "image_id": image_id,
+                        "category_id": (
+                            label2cat.get(cid, cid) if label2cat else cid
+                        ),
+                        "bbox": [x1, y1, round(x2 - x1, 2), round(y2 - y1, 2)],
+                        "score": d["score"],
+                    }
+                )
+        with open(path, "w") as f:
+            json.dump(records, f)
+
     def predict_paths(self, source_path: str, output_dir: str | None = None,
                       save_images: bool = True, save_json: bool = True,
                       verbose: bool = True):

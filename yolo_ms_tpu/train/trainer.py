@@ -231,6 +231,9 @@ class Trainer:
             ),
         )
         self.start_epoch = 0
+        self.start_step = 0
+        self._current_epoch = 0
+        self._current_step = 0
 
         # --- output dirs / logging / checkpoints ---
         self.output_dir = os.path.join(tcfg.log_dir, tcfg.experiment_name)
@@ -331,11 +334,26 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def resume(self, path: str) -> None:
-        """Restore full training state (params/opt/step/epoch) for exact
-        resume — capability the reference lacks."""
-        restored = restore_checkpoint(path, jax.device_get({"state": self.state, "epoch": 0}))
+        """Restore full training state (params/opt/step/epoch, step-in-epoch)
+        for exact resume — capability the reference lacks. Restores against
+        the live TrainState template so optimizer-state structure survives."""
+        template = jax.device_get(
+            {"state": self.state, "epoch": 0, "step_in_epoch": 0}
+        )
+        try:
+            restored = restore_checkpoint(path, template)
+        except Exception:
+            # older checkpoints without step_in_epoch
+            template.pop("step_in_epoch")
+            restored = restore_checkpoint(path, template)
         self.state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
-        self.start_epoch = int(restored["epoch"]) + 1
+        step_in_epoch = int(restored.get("step_in_epoch", 0) or 0)
+        if step_in_epoch > 0:
+            self.start_epoch = int(restored["epoch"])
+            self.start_step = step_in_epoch
+        else:
+            self.start_epoch = int(restored["epoch"]) + 1
+            self.start_step = 0
 
     def _install_preemption_handler(self):
         """Save a full-state checkpoint on SIGTERM/SIGINT before exiting —
@@ -349,7 +367,12 @@ class Trainer:
 
             save_checkpoint(
                 path,
-                {"state": jax.device_get(self.state), "epoch": self._current_epoch},
+                {
+                    "state": jax.device_get(self.state),
+                    "epoch": self._current_epoch,
+                    # deterministic loader => exact mid-epoch resume
+                    "step_in_epoch": self._current_step,
+                },
             )
             raise SystemExit(128 + signum)
 
@@ -374,7 +397,13 @@ class Trainer:
             self.logger.scalar("Training/Learning_Rate", lr, epoch)
             epoch_loss, n_steps = 0.0, 0
 
-            for batch_idx, batch in enumerate(self.train_loader.epoch(epoch)):
+            first_step = self.start_step if epoch == self.start_epoch else 0
+            self._current_step = first_step
+            for batch_idx, batch in enumerate(
+                self.train_loader.epoch(epoch, start_step=first_step),
+                start=first_step,
+            ):
+                self._current_step = batch_idx + 1
                 host_batch = {
                     k: batch[k] for k in ("images", "boxes", "labels", "mask")
                 }
@@ -407,7 +436,11 @@ class Trainer:
                 val_metric = self.validate(epoch + 1)
                 self.logger.scalar("Validation/mAP_50", val_metric, epoch)
 
-            ckpt_state = {"state": jax.device_get(self.state), "epoch": epoch}
+            ckpt_state = {
+                "state": jax.device_get(self.state),
+                "epoch": epoch,
+                "step_in_epoch": 0,
+            }
             if self.ckpt.on_epoch_end(ckpt_state, epoch, val_metric):
                 print(f"New best mAP@0.5: {val_metric:.4f}")
 
