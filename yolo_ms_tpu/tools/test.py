@@ -61,6 +61,15 @@ def run(
         batch_size=batch_size,
         reg_max=cfg.model.reg_max,
     )
+    # video / webcam source ('0' = webcam, coco_yolov8.yaml:71)
+    if str(source_path).isdigit() or str(source_path).lower().endswith(
+        (".mp4", ".avi", ".mov", ".mkv", ".webm")
+    ):
+        from yolo_ms_tpu.infer.video import predict_video
+
+        os.makedirs(output_dir, exist_ok=True)
+        out_video = os.path.join(output_dir, "detected.mp4")
+        return predict_video(predictor, source_path, out_video)
     return predictor.predict_paths(source_path, output_dir)
 
 
