@@ -89,7 +89,12 @@ class TestConfig:
         cfg = Config.from_dict({})
         assert cfg.model.architecture == "n"
         assert cfg.training.optimizer == "adam"
-        assert cfg.dataset.resolved_class_names()[0] == "class_0"
+        # default 80 classes -> standard COCO names
+        assert cfg.dataset.resolved_class_names()[0] == "person"
+        assert len(cfg.dataset.resolved_class_names()) == 80
+        # non-COCO class count -> placeholder names
+        cfg2 = Config.from_dict({"dataset": {"num_classes": 3}})
+        assert cfg2.dataset.resolved_class_names() == ["class_0", "class_1", "class_2"]
 
     def test_save_roundtrip(self, tmp_path):
         cfg = Config.from_dict({"model": {"architecture": "s"}})

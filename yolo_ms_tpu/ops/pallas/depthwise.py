@@ -29,9 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _dw_kernel(x_ref, w_ref, out_ref, acc_ref, *, k: int, out_h: int, out_w: int):
     """x [1, H+k-1, W+k-1, C] (pre-padded), w [k*k, C], out [1, H, W, C],
-    acc: f32 VMEM scratch [H, W, C]. Ref-accumulation keeps one shifted term
-    live at a time (unrolled functional accumulation OOMs VMEM at k^2 live
-    temporaries)."""
+    acc: f32 VMEM scratch [H, W, C].
+
+    Per-tap ref-accumulation keeps exactly one shifted term live at a time.
+    (Both fully-unrolled functional accumulation and per-kernel-row fused
+    expressions OOM VMEM — Mosaic materializes every term of an elementwise
+    chain at these tile sizes.)"""
     for dy in range(k):
         for dx in range(k):
             term = (

@@ -43,6 +43,10 @@ class DatasetConfig:
     def resolved_class_names(self) -> list[str]:
         if self.class_names:
             return list(self.class_names)
+        if self.num_classes == 80:
+            from yolo_ms_tpu.data.coco_classes import COCO_CLASSES
+
+            return list(COCO_CLASSES)
         return [f"class_{i}" for i in range(self.num_classes)]
 
 
