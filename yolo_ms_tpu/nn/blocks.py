@@ -28,7 +28,7 @@ depthwise bottlenecks and heterogeneous kernel sizes across stages.
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ flax HWIO; BN weight/bias -> scale/bias; running stats -> batch_stats.
 from __future__ import annotations
 
 import os
-import re
+
 from typing import Any
 
 import jax
