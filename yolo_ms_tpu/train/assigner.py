@@ -59,21 +59,28 @@ def task_aligned_assign(
     )
     ious = jnp.clip(ious, 0.0)
     gt_cls = jnp.clip(gt_labels, 0, num_classes - 1).astype(jnp.int32)
-    # score of each anchor for its gt's class: [B, M, A]
-    cls_scores = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1),  # [B, nc, A]
-        gt_cls[..., None],  # [B, M, 1]
-        axis=1,
-    )
+    gt_cls_onehot = jax.nn.one_hot(gt_cls, num_classes, dtype=pd_scores.dtype)
+    # score of each anchor for its gt's class, as an MXU contraction (TPU
+    # gathers are slow): [B,A,nc] x [B,M,nc] -> [B,M,A]
+    cls_scores = jnp.einsum("ban,bmn->bma", pd_scores, gt_cls_onehot)
     metric = (cls_scores**alpha) * (ious**beta)
     metric = jnp.where(mask_in, metric, 0.0)
 
     # --- top-k per gt [B, M, A] -> mask of selected anchors ---
+    # Iterative max-and-mask instead of lax.top_k: top_k sorts the whole
+    # anchor axis (the single most expensive op of the loss on TPU — the
+    # sort dominated the loss at ~3x the model forward cost); k passes of
+    # argmax+scatter are linear and fuse.
     k = min(topk, a)
-    topk_vals, topk_idx = jax.lax.top_k(metric, k)  # over last axis (A)
-    topk_valid = topk_vals > eps
-    onehot = jax.nn.one_hot(topk_idx, a, dtype=jnp.bool_)  # [B, M, k, A]
-    sel = jnp.any(onehot & topk_valid[..., None], axis=2)  # [B, M, A]
+    sel = jnp.zeros_like(metric, dtype=jnp.bool_)
+    remaining = metric
+    col = jax.lax.broadcasted_iota(jnp.int32, metric.shape, metric.ndim - 1)
+    for _ in range(k):
+        idx = jnp.argmax(remaining, axis=-1)  # [B, M]
+        val = jnp.max(remaining, axis=-1)  # [B, M]
+        hit = (col == idx[..., None]) & (val > eps)[..., None]
+        sel = sel | hit
+        remaining = jnp.where(hit, -1.0, remaining)
     mask_pos = sel & mask_in
 
     # --- conflict resolution: anchor claimed by multiple gts -> max IoU ---
@@ -84,13 +91,13 @@ def task_aligned_assign(
     mask_pos = jnp.where((claimed > 1)[:, None, :], mask_pos & keep_one, mask_pos)
 
     fg_mask = mask_pos.any(axis=1)  # [B, A]
-    assigned_gt = jnp.argmax(mask_pos, axis=1)  # [B, A] (0 when bg; gated by fg)
 
-    # --- gather targets ---
-    target_labels = jnp.take_along_axis(gt_cls, assigned_gt, axis=1)  # [B, A]
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, assigned_gt[..., None], axis=1
-    )  # [B, A, 4]
+    # --- gather targets via one-hot contractions (mask_pos has at most one
+    # true per anchor after conflict resolution) ---
+    sel_f = mask_pos.astype(gt_bboxes.dtype)  # [B, M, A]
+    target_bboxes = jnp.einsum("bma,bmc->bac", sel_f, gt_bboxes)  # [B, A, 4]
+    label_onehot = jnp.einsum("bma,bmn->ban", sel_f, gt_cls_onehot)  # [B, A, nc]
+    target_labels = jnp.argmax(label_onehot, axis=-1).astype(jnp.int32)  # [B, A]
 
     # --- TAL soft scores: one-hot * normalized metric ---
     # per-gt max metric and max iou over its positive anchors
@@ -101,10 +108,7 @@ def task_aligned_assign(
     norm_metric = metric_pos * gt_max_iou / (gt_max_metric + eps)  # [B, M, A]
     anchor_score = norm_metric.max(axis=1)  # [B, A]
 
-    target_scores = (
-        jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
-        * anchor_score[..., None]
-    )
+    target_scores = label_onehot * anchor_score[..., None]
     target_scores = jnp.where(fg_mask[..., None], target_scores, 0.0)
 
     return target_labels, target_bboxes, target_scores, fg_mask
