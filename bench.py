@@ -27,7 +27,10 @@ import time
 REFERENCE_CPU_IMG_PER_S = 7.48  # see module docstring
 
 ARCH = "yolo-ms-xs"
-BATCH = 32
+# Throughput-optimal serving batch (measured sweep: bs=32 -> 873 img/s,
+# bs=64 -> ~1900, bs=128 -> ~2900, bs=256 -> ~2800; the chip is
+# latency-bound below bs~128 at this model size).
+BATCH = 128
 NUM_CLASSES = 80
 K = 10  # scan iterations per timed dispatch
 
