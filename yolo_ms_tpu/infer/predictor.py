@@ -51,6 +51,7 @@ class Predictor:
         max_det: int = 300,
         batch_size: int = 1,
         reg_max: int = 16,
+        letterbox: bool = False,
         dtype=jnp.float32,
     ):
         self.model = build_model(
@@ -65,6 +66,7 @@ class Predictor:
         self.max_det = max_det
         self.batch_size = batch_size
         self.reg_max = reg_max
+        self.letterbox = letterbox
         self._infer = jax.jit(self._infer_impl)
 
     def _infer_impl(self, variables, images_u8):
@@ -91,34 +93,49 @@ class Predictor:
         out = self._infer(self.variables, jnp.asarray(images_u8))
         return jax.device_get(out)
 
-    def predict_image(self, image_rgb: np.ndarray):
-        """Single original-size RGB image -> list of detection dicts
-        (rescaled to original size, reference JSON schema)."""
+    def _preprocess(self, image_rgb: np.ndarray):
+        """Original-size RGB -> (model-input uint8, unmap meta).
+
+        Default: plain resize (exact reference semantics, tools/test.py:116).
+        With ``letterbox=True``: aspect-preserving resize + gray padding (the
+        standard deployment preprocessing; boxes unmap exactly)."""
         import cv2
 
         oh, ow = image_rgb.shape[:2]
         ih, iw = self.input_size
-        resized = cv2.resize(image_rgb, (iw, ih), interpolation=cv2.INTER_LINEAR)
-        out = self.predict_batch(resized[None])
-        return self._to_detections(out, 0, (ow, oh))
+        if self.letterbox:
+            from yolo_ms_tpu.data.augment import letterbox as lb
 
-    def _to_detections(self, out, i: int, orig_wh: tuple[int, int]):
-        ow, oh = orig_wh
-        ih, iw = self.input_size
-        sx, sy = ow / iw, oh / ih
+            canvas, _, r, (px, py) = lb(
+                image_rgb, np.zeros((0, 4), np.float32), ih, iw
+            )
+            return canvas, (1.0 / r, 1.0 / r, px, py, ow, oh)
+        resized = cv2.resize(image_rgb, (iw, ih), interpolation=cv2.INTER_LINEAR)
+        return resized, (ow / iw, oh / ih, 0, 0, ow, oh)
+
+    def predict_image(self, image_rgb: np.ndarray):
+        """Single original-size RGB image -> list of detection dicts
+        (rescaled to original size, reference JSON schema)."""
+        inp, meta = self._preprocess(image_rgb)
+        out = self.predict_batch(inp[None])
+        return self._to_detections(out, 0, meta)
+
+    def _to_detections(self, out, i: int, meta):
+        sx, sy, px, py, ow, oh = meta
         dets = []
         valid = out["valid"][i]
         for j in np.nonzero(valid)[0]:
             x1, y1, x2, y2 = out["boxes"][i, j]
             cid = int(out["classes"][i, j])
+            bx = [
+                float(np.clip((x1 - px) * sx, 0, ow)),
+                float(np.clip((y1 - py) * sy, 0, oh)),
+                float(np.clip((x2 - px) * sx, 0, ow)),
+                float(np.clip((y2 - py) * sy, 0, oh)),
+            ]
             dets.append(
                 {
-                    "box_xyxy": [
-                        round(float(x1 * sx), 2),
-                        round(float(y1 * sy), 2),
-                        round(float(x2 * sx), 2),
-                        round(float(y2 * sy), 2),
-                    ],
+                    "box_xyxy": [round(c, 2) for c in bx],
                     "score": round(float(out["scores"][i, j]), 4),
                     "class_id": cid,
                     "class_name": self.class_names[cid]
@@ -175,13 +192,19 @@ class Predictor:
             batch = np.zeros((bs, ih, iw, 3), np.uint8)
             metas = []
             for k, p in enumerate(chunk):
-                img = decode_and_resize(p, ih, iw)
-                batch[k] = img
                 orig = decode_image(p)
-                metas.append((p, orig))
+                if self.letterbox:
+                    inp, meta = self._preprocess(orig)
+                else:
+                    # fused native decode+resize fast path (plain resize)
+                    inp = decode_and_resize(p, ih, iw)
+                    oh, ow = orig.shape[:2]
+                    meta = (ow / iw, oh / ih, 0, 0, ow, oh)
+                batch[k] = inp
+                metas.append((p, orig, meta))
             out = self.predict_batch(batch)
-            for k, (p, orig) in enumerate(metas):
-                dets = self._to_detections(out, k, (orig.shape[1], orig.shape[0]))
+            for k, (p, orig, meta) in enumerate(metas):
+                dets = self._to_detections(out, k, meta)
                 results[p] = dets
                 if verbose:
                     print(f"{p}: {len(dets)} detections")

@@ -47,7 +47,9 @@ def predict_video(
         out = predictor.predict_batch(batch)
         for i in range(n):
             orig = frames_rgb[i]
-            dets = predictor._to_detections(out, i, (orig.shape[1], orig.shape[0]))
+            oh2, ow2 = orig.shape[:2]
+            meta = (ow2 / iw, oh2 / ih, 0, 0, ow2, oh2)
+            dets = predictor._to_detections(out, i, meta)
             all_dets.append(dets)
             if output_path:
                 drawn = draw_detections(orig, dets)
