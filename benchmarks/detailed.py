@@ -83,14 +83,16 @@ def main() -> None:
         return fn
 
     rng = np.random.default_rng(0)
-    configs = [("yolo-ms-xs", 1), ("yolo-ms-xs", 32)]
+    configs = [("yolo-ms-xs", 1), ("yolo-ms-xs", 32), ("yolo-ms-xs", 128)]
     if not args.quick:
         configs += [
             ("yolo-ms-s", 8),
             ("yolo-ms-s", 32),
+            ("yolo-ms-s", 128),
             ("yolo-ms-m", 8),
             ("yolo-ms-m", 32),
             ("n", 32),
+            ("n", 128),
             ("s", 32),
         ]
 
