@@ -23,6 +23,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: repeat test runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() == 8, (
