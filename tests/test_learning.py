@@ -22,7 +22,7 @@ def test_overfits_synthetic_rectangles(tmp_path):
 
     root = str(tmp_path)
     images_dir, ann = make_coco_dataset(
-        root, num_images=16, num_classes=2, img_w=192, img_h=160, seed=1
+        root, num_images=32, num_classes=3, img_w=320, img_h=256, seed=1
     )
     cfg = Config.from_dict(
         {
@@ -31,29 +31,29 @@ def test_overfits_synthetic_rectangles(tmp_path):
                 "train_annotations_path": ann,
                 "val_images_path": images_dir,
                 "val_annotations_path": ann,
-                "num_classes": 2,
+                "num_classes": 3,
                 "max_gt": 8,
             },
             "model": {
                 "architecture": "n",
-                "input_size": [128, 128],
+                "input_size": [160, 160],
                 "compute_dtype": "float32",
             },
             "training": {
-                "batch_size": 8,
-                "epochs": 40,
+                "batch_size": 16,
+                "epochs": 60,
                 "learning_rate": 2e-3,
                 "optimizer": "adam",
                 "weight_decay": 0.0,
-                "val_interval": 40,
+                "val_interval": 60,
                 "save_period": 1000,
                 "experiment_name": "learn",
                 "log_dir": os.path.join(root, "runs"),
                 "augmentation": {"fliplr": 0.5},
                 "grad_clip_norm": 10.0,
-                "scheduler": {"type": "cosine", "cosine_t_max": 40, "warmup_steps": 20},
+                "scheduler": {"type": "cosine", "cosine_t_max": 60, "warmup_steps": 20},
             },
-            "evaluation": {"batch_size": 8, "confidence_threshold": 0.25},
+            "evaluation": {"batch_size": 16, "confidence_threshold": 0.25},
             "workers": 1,
         }
     )

@@ -109,8 +109,9 @@ class ConvBnSiLU(nn.Module):
     The universal primitive (components.py:69-77). NHWC; weights HWIO.
     XLA fuses the BN scale/shift and SiLU into the convolution epilogue, and
     at inference BN can be folded into the conv weights so the hot path is a
-    single MXU op. Full-depthwise stride-1 convs route to the Pallas VMEM
-    kernel on TPU (ops/pallas/depthwise.py) when the shape qualifies.
+    single MXU op. Full-depthwise stride-1 convs go through _DepthwiseConv
+    (XLA grouped conv by default; Pallas kernel opt-in, see
+    USE_PALLAS_DEPTHWISE above).
     """
 
     features: int
