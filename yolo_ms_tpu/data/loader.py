@@ -140,12 +140,26 @@ class DetectionLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # Sample production fans out over num_workers threads (decode/augment
+        # release the GIL inside libjpeg/cv2/numpy). Determinism holds: each
+        # sample is seeded purely by (seed, epoch, idx), and pool.map
+        # preserves input order, so batches are byte-identical to the
+        # single-threaded pipeline.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def one_sample(i):
+            img, boxes, labels = self._make_sample(epoch, i, order)
+            return (img,) + self._pad_targets(boxes, labels)
 
         def produce(batch_ids):
             imgs, bs, ls, ms = [], [], [], []
-            for i in batch_ids:
-                img, boxes, labels = self._make_sample(epoch, i, order)
-                b, l, m = self._pad_targets(boxes, labels)
+            if self.num_workers > 1:
+                results = list(pool.map(one_sample, batch_ids))
+            else:
+                results = [one_sample(i) for i in batch_ids]
+            for img, b, l, m in results:
                 imgs.append(img)
                 bs.append(b)
                 ls.append(l)
@@ -185,3 +199,4 @@ class DetectionLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False)

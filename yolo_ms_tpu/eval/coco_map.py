@@ -2,20 +2,29 @@
 
 Own implementation of the metric the reference delegates to torchmetrics'
 MeanAveragePrecision (train.py:17,41-47: box_format='xyxy',
-iou_thresholds=[0.5]). Protocol:
+iou_thresholds=[0.5]). Protocol (pycocotools COCOeval semantics):
 
-- per class, detections sorted by score across the dataset,
-- greedy match to the unmatched GT with highest IoU >= threshold,
+- detections grouped per (image, class), sorted by score, truncated to the
+  top ``max_dets`` per image per class (COCOeval's dt[:maxDets]),
+- one IoU matrix per (image, class); greedy matching at every IoU threshold
+  against the unmatched GT with highest IoU >= threshold,
+- iscrowd GT ignore semantics: crowd IoU is intersection over DET area, a
+  crowd GT can absorb any number of detections, and crowd-matched detections
+  are IGNORED (neither TP nor FP),
 - 101-point interpolated precision (COCO standard),
-- AP averaged over classes that have GT; mAP@[.5:.95] = mean over the 10
-  standard IoU thresholds; map_50 reported separately for parity with the
-  reference's 'Validation/mAP_50' scalar (train.py:407).
+- AP averaged over classes that have (non-crowd) GT; mAP@[.5:.95] = mean over
+  the 10 standard IoU thresholds; map_50 reported separately for parity with
+  the reference's 'Validation/mAP_50' scalar (train.py:407).
 
 Accumulation is update()/compute() like torchmetrics so the validation loop
-shape matches the reference's (train.py:146,152).
+shape matches the reference's (train.py:146,152). The matching is grouped
+and array-wise — no dataset-wide per-detection Python loop — so COCO
+val2017-scale evaluation (~5k images) completes in seconds.
 """
 
 from __future__ import annotations
+
+from collections import defaultdict
 
 import numpy as np
 
@@ -23,8 +32,15 @@ COCO_IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 
-def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[N,4] x [M,4] xyxy -> [N,M] IoU."""
+def _iou_matrix(
+    a: np.ndarray, b: np.ndarray, b_crowd: np.ndarray | None = None
+) -> np.ndarray:
+    """[N,4] x [M,4] xyxy -> [N,M] IoU.
+
+    Columns flagged in ``b_crowd`` use the COCO crowd convention: the
+    denominator is the DETECTION area (intersection-over-foreground), so a
+    detection fully inside a crowd region scores 1.0 against it.
+    """
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float32)
     ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
@@ -34,7 +50,10 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
     aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
     ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return inter / np.maximum(aa[:, None] + ab[None, :] - inter, 1e-9)
+    union = aa[:, None] + ab[None, :] - inter
+    if b_crowd is not None and b_crowd.any():
+        union = np.where(b_crowd[None, :], aa[:, None], union)
+    return inter / np.maximum(union, 1e-9)
 
 
 class MeanAveragePrecision:
@@ -54,84 +73,117 @@ class MeanAveragePrecision:
         self.reset()
 
     def reset(self):
-        self._preds = []  # per image: (boxes, scores, labels)
-        self._targets = []  # per image: (boxes, labels)
+        # per class: lists of per-(image,class) match results
+        self._scores = defaultdict(list)  # cls -> [D] score arrays
+        self._tp = defaultdict(list)  # cls -> [T, D] bool arrays
+        self._ignored = defaultdict(list)  # cls -> [T, D] bool arrays
+        self._gt_count = defaultdict(int)  # cls -> non-crowd GT count
 
     def update(self, preds: list[dict], targets: list[dict]):
         """torchmetrics-compatible update: lists of per-image dicts with
         'boxes' [N,4] xyxy, 'scores' [N], 'labels' [N] (preds) and
-        'boxes'/'labels' (targets)."""
+        'boxes'/'labels' and optional 'iscrowd' [M] (targets)."""
         assert len(preds) == len(targets)
         for p, t in zip(preds, targets):
-            self._preds.append(
-                (
-                    np.asarray(p["boxes"], np.float32).reshape(-1, 4),
-                    np.asarray(p["scores"], np.float32).reshape(-1),
-                    np.asarray(p["labels"], np.int64).reshape(-1),
-                )
+            pb = np.asarray(p["boxes"], np.float32).reshape(-1, 4)
+            ps = np.asarray(p["scores"], np.float32).reshape(-1)
+            pl = np.asarray(p["labels"], np.int64).reshape(-1)
+            tb = np.asarray(t["boxes"], np.float32).reshape(-1, 4)
+            tl = np.asarray(t["labels"], np.int64).reshape(-1)
+            crowd = (
+                np.asarray(t["iscrowd"], bool).reshape(-1)
+                if "iscrowd" in t
+                else np.zeros(len(tl), bool)
             )
-            self._targets.append(
-                (
-                    np.asarray(t["boxes"], np.float32).reshape(-1, 4),
-                    np.asarray(t["labels"], np.int64).reshape(-1),
+            for cls in np.union1d(np.unique(pl), np.unique(tl)):
+                if self.num_classes is not None and not (
+                    0 <= cls < self.num_classes
+                ):
+                    continue
+                self._match_image_class(
+                    int(cls),
+                    pb[pl == cls],
+                    ps[pl == cls],
+                    tb[tl == cls],
+                    crowd[tl == cls],
                 )
-            )
 
     # ------------------------------------------------------------------ #
 
-    def _ap_for_class(self, cls: int) -> np.ndarray | None:
-        """AP at each IoU threshold for one class, or None if no GT."""
-        n_img = len(self._preds)
-        gt_count = 0
-        dets = []  # (score, img_idx, box)
-        gts = []  # per image arrays
-        for i in range(n_img):
-            pb, ps, pl = self._preds[i]
-            sel = pl == cls
-            for s, b in zip(ps[sel], pb[sel]):
-                dets.append((s, i, b))
-            tb, tl = self._targets[i]
-            g = tb[tl == cls]
-            gts.append(g)
-            gt_count += len(g)
-        if gt_count == 0:
-            return None
-        dets.sort(key=lambda x: -x[0])
-        dets = dets[: self.max_dets * n_img]
+    def _match_image_class(self, cls, dt_boxes, dt_scores, gt_boxes, gt_crowd):
+        """Greedy COCO matching for one (image, class) at all thresholds."""
+        self._gt_count[cls] += int((~gt_crowd).sum())
+        if len(dt_scores) == 0:
+            return
+        # per-image per-class top max_dets by score (COCOeval dt[:maxDets])
+        order = np.argsort(-dt_scores, kind="stable")[: self.max_dets]
+        dt_boxes, dt_scores = dt_boxes[order], dt_scores[order]
+        # GTs ordered non-crowd first (COCOeval sorts by ignore flag)
+        gorder = np.argsort(gt_crowd, kind="stable")
+        gt_boxes, gt_crowd = gt_boxes[gorder], gt_crowd[gorder]
 
         n_thr = len(self.iou_thresholds)
-        tp = np.zeros((n_thr, len(dets)), bool)
-        matched = [
-            np.zeros((n_thr, len(g)), bool) for g in gts
-        ]  # per image per threshold
+        d, g = len(dt_boxes), len(gt_boxes)
+        tp = np.zeros((n_thr, d), bool)
+        ignored = np.zeros((n_thr, d), bool)
+        if g:
+            ious = _iou_matrix(dt_boxes, gt_boxes, gt_crowd)
+            n_real = int((~gt_crowd).sum())
+            for ti, thr in enumerate(self.iou_thresholds):
+                gt_matched = np.zeros(g, bool)
+                for di in range(d):
+                    best_iou = min(thr, 1.0 - 1e-10)
+                    m = -1
+                    for gi in range(g):
+                        # a real GT already matched is unavailable; crowds
+                        # can absorb unlimited detections
+                        if gt_matched[gi] and not gt_crowd[gi]:
+                            continue
+                        # once we have a real match, never trade it for a
+                        # crowd (gts are sorted: real first)
+                        if m > -1 and not gt_crowd[m] and gi >= n_real:
+                            break
+                        if ious[di, gi] < best_iou:
+                            continue
+                        best_iou = ious[di, gi]
+                        m = gi
+                    if m == -1:
+                        continue
+                    if gt_crowd[m]:
+                        ignored[ti, di] = True  # neither TP nor FP
+                    else:
+                        gt_matched[m] = True
+                        tp[ti, di] = True
+        self._scores[cls].append(dt_scores)
+        self._tp[cls].append(tp)
+        self._ignored[cls].append(ignored)
 
-        # Pre-compute IoUs lazily per (det, image)
-        for d_idx, (score, img, box) in enumerate(dets):
-            g = gts[img]
-            if len(g) == 0:
-                continue
-            ious = _iou_matrix(box[None], g)[0]
-            order = np.argsort(-ious)
-            for t_idx, thr in enumerate(self.iou_thresholds):
-                for gi in order:
-                    if ious[gi] < thr:
-                        break
-                    if not matched[img][t_idx, gi]:
-                        matched[img][t_idx, gi] = True
-                        tp[t_idx, d_idx] = True
-                        break
+    def _ap_for_class(self, cls: int) -> np.ndarray | None:
+        """AP at each IoU threshold for one class, or None if no real GT."""
+        gt_count = self._gt_count.get(cls, 0)
+        if gt_count == 0:
+            return None
+        n_thr = len(self.iou_thresholds)
+        if not self._scores.get(cls):
+            return np.zeros(n_thr)  # GT exists but nothing predicted -> AP 0
+        scores = np.concatenate(self._scores[cls])
+        tp = np.concatenate(self._tp[cls], axis=1)  # [T, D]
+        ignored = np.concatenate(self._ignored[cls], axis=1)
+        order = np.argsort(-scores, kind="stable")
+        tp, ignored = tp[:, order], ignored[:, order]
 
         aps = np.zeros(n_thr)
-        if not dets:
-            return aps  # GT exists but nothing predicted -> AP 0
         for t_idx in range(n_thr):
-            tps = np.cumsum(tp[t_idx])
-            fps = np.cumsum(~tp[t_idx])
+            keep = ~ignored[t_idx]
+            t = tp[t_idx][keep]
+            if len(t) == 0:
+                continue
+            tps = np.cumsum(t)
+            fps = np.cumsum(~t)
             recall = tps / gt_count
             precision = tps / np.maximum(tps + fps, 1e-9)
-            # monotonically decreasing precision envelope
-            for i in range(len(precision) - 2, -1, -1):
-                precision[i] = max(precision[i], precision[i + 1])
+            # monotonically decreasing precision envelope (vectorized)
+            precision = np.maximum.accumulate(precision[::-1])[::-1]
             # 101-point interpolation
             idx = np.searchsorted(recall, RECALL_POINTS, side="left")
             ap = np.where(
@@ -143,13 +195,9 @@ class MeanAveragePrecision:
         return aps
 
     def compute(self) -> dict:
-        classes = set()
-        for _, tl in self._targets:
-            classes.update(np.unique(tl).tolist())
-        if self.num_classes is not None:
-            classes &= set(range(self.num_classes))
+        classes = sorted(self._gt_count)
         per_class = {}
-        for c in sorted(classes):
+        for c in classes:
             aps = self._ap_for_class(int(c))
             if aps is not None:
                 per_class[int(c)] = aps

@@ -53,6 +53,7 @@ class Predictor:
         reg_max: int = 16,
         letterbox: bool = False,
         dtype=jnp.float32,
+        pre_nms_topk: int = 1024,
     ):
         self.model = build_model(
             architecture, num_classes=num_classes, reg_max=reg_max, dtype=dtype
@@ -67,6 +68,7 @@ class Predictor:
         self.batch_size = batch_size
         self.reg_max = reg_max
         self.letterbox = letterbox
+        self.pre_nms_topk = pre_nms_topk
         self._infer = jax.jit(self._infer_impl)
 
     def _infer_impl(self, variables, images_u8):
@@ -84,6 +86,7 @@ class Predictor:
             conf_thresh=self.conf_thresh,
             iou_thresh=self.iou_thresh,
             max_det=self.max_det,
+            pre_nms_topk=self.pre_nms_topk,
         )
 
     # ------------------------------------------------------------------ #

@@ -92,10 +92,17 @@ def decode_predictions(
 
     The eval output contract of yolov8_head.py:115-144: boxes (cx,cy,w,h) in
     pixels followed by per-class sigmoid scores.
+
+    Box math always runs in f32 regardless of the model compute dtype:
+    bf16 has 8 mantissa bits, so decoding at 640-px scale in bf16 quantizes
+    coordinates by ~2.5 px. The [B, A, .] decode tail is cheap relative to
+    the conv stack, so the f32 cast costs nothing measurable.
     """
     shapes = [(m.shape[1], m.shape[2]) for m in raw_maps]
-    anchors, stride_t = make_anchors(shapes, strides, dtype=raw_maps[0].dtype)
-    box_dist, cls = flatten_maps(raw_maps, num_classes, reg_max)
+    anchors, stride_t = make_anchors(shapes, strides, dtype=jnp.float32)
+    box_dist, cls = flatten_maps(
+        [m.astype(jnp.float32) for m in raw_maps], num_classes, reg_max
+    )
     boxes = decode_boxes(box_dist, anchors, stride_t)
     return jnp.concatenate([boxes, jax.nn.sigmoid(cls)], axis=-1)
 

@@ -157,7 +157,10 @@ def batched_nms(
         data = jnp.concatenate(
             [boxes, classes[:, None].astype(jnp.float32)], axis=-1
         )  # [A, 5]
-        top = sel @ data  # [k, 5]
+        # HIGHEST precision: this matmul is a gather, so the inputs must not
+        # be rounded to bf16 (the TPU default for f32 matmuls) — that would
+        # corrupt the gathered box coordinates by up to a few pixels at 640.
+        top = jnp.matmul(sel, data, precision=jax.lax.Precision.HIGHEST)  # [k, 5]
         top_boxes = top[:, :4]
         top_classes = jnp.round(top[:, 4]).astype(jnp.int32)
 
@@ -171,7 +174,7 @@ def batched_nms(
         kd = min(max_det, k)
         out_scores, out_idx = jax.lax.top_k(kept_scores, kd)
         sel2 = jax.nn.one_hot(out_idx, k, dtype=jnp.float32)
-        out = sel2 @ top  # [kd, 5]
+        out = jnp.matmul(sel2, top, precision=jax.lax.Precision.HIGHEST)  # [kd, 5]
         out_boxes = out[:, :4]
         out_classes = jnp.round(out[:, 4]).astype(jnp.int32)
         valid = out_scores > 0.0

@@ -24,10 +24,17 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    from yolo_ms_tpu.parallel.distributed import maybe_initialize_distributed
     from yolo_ms_tpu.utils.config import load_config
     from yolo_ms_tpu.utils.profiler import enable_compilation_cache
     from yolo_ms_tpu.train.trainer import Trainer
 
+    # Multi-host (TPU pod / multi-slice): must run before any other jax call
+    # so jax.devices() spans all hosts; no-op on single-host.
+    if maybe_initialize_distributed():
+        from yolo_ms_tpu.parallel.distributed import process_info
+
+        print(f"jax.distributed initialized: {process_info()}")
     enable_compilation_cache()
     try:
         cfg = load_config(args.config)

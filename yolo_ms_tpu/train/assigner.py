@@ -95,8 +95,15 @@ def task_aligned_assign(
     # --- gather targets via one-hot contractions (mask_pos has at most one
     # true per anchor after conflict resolution) ---
     sel_f = mask_pos.astype(gt_bboxes.dtype)  # [B, M, A]
-    target_bboxes = jnp.einsum("bma,bmc->bac", sel_f, gt_bboxes)  # [B, A, 4]
-    label_onehot = jnp.einsum("bma,bmn->ban", sel_f, gt_cls_onehot)  # [B, A, nc]
+    # HIGHEST precision: these contractions are gathers of exact values (box
+    # coordinates / one-hot labels); the TPU default would round the f32
+    # inputs to bf16 and corrupt training targets by pixels.
+    target_bboxes = jnp.einsum(
+        "bma,bmc->bac", sel_f, gt_bboxes, precision=jax.lax.Precision.HIGHEST
+    )  # [B, A, 4]
+    label_onehot = jnp.einsum(
+        "bma,bmn->ban", sel_f, gt_cls_onehot, precision=jax.lax.Precision.HIGHEST
+    )  # [B, A, nc]
     target_labels = jnp.argmax(label_onehot, axis=-1).astype(jnp.int32)  # [B, A]
 
     # --- TAL soft scores: one-hot * normalized metric ---

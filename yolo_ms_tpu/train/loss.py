@@ -57,6 +57,10 @@ class DetectionLoss:
     tal_topk: int = 10
     tal_alpha: float = 0.5
     tal_beta: float = 6.0
+    # box-loss IoU variant: iou | giou | diou | ciou (reference loss.py:95,118
+    # parameterizes its DFL-aware loss the same way; assignment always uses
+    # CIoU like ultralytics TAL)
+    iou_type: str = "ciou"
 
     def __call__(self, raw_maps, gt_boxes, gt_labels, gt_mask):
         return detection_loss(
@@ -76,6 +80,7 @@ class DetectionLoss:
             tal_topk=self.tal_topk,
             tal_alpha=self.tal_alpha,
             tal_beta=self.tal_beta,
+            iou_type=self.iou_type,
         )
 
 
@@ -124,6 +129,7 @@ def detection_loss(
     tal_topk: int = 10,
     tal_alpha: float = 0.5,
     tal_beta: float = 6.0,
+    iou_type: str = "ciou",
 ):
     """Returns (total_loss, metrics dict with loss_box/loss_cls/loss_dfl).
 
@@ -150,9 +156,13 @@ def detection_loss(
     scale = jnp.asarray([img_w, img_h, img_w, img_h], dtype=compute_dtype)
     gt_xyxy = xywh_to_xyxy(gt_boxes.astype(compute_dtype) * scale)
 
+    # Assignment is a label-generation step, not part of the differentiable
+    # graph: detach predictions before assigning (ultralytics semantics —
+    # without this, target_scores/weights carry a gradient term measured
+    # ~135x larger than the intended detached loss gradient).
     _, target_bboxes, target_scores, fg_mask = task_aligned_assign(
-        pd_scores,
-        pd_boxes_px,
+        jax.lax.stop_gradient(pd_scores),
+        jax.lax.stop_gradient(pd_boxes_px),
         anchors_px,
         gt_labels,
         gt_xyxy,
@@ -177,7 +187,17 @@ def detection_loss(
 
     # --- box loss on fg anchors, weighted by target score ---
     weight = target_scores.sum(-1) * fg_mask  # [B, A]
-    iou = bbox_iou(pd_boxes_px, target_bboxes, xywh=False, CIoU=True)
+    kind = iou_type.lower()
+    if kind not in ("iou", "giou", "diou", "ciou"):
+        raise ValueError(f"Unsupported iou_type: {iou_type}")
+    iou = bbox_iou(
+        pd_boxes_px,
+        target_bboxes,
+        xywh=False,
+        GIoU=kind == "giou",
+        DIoU=kind == "diou",
+        CIoU=kind == "ciou",
+    )
     loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
 
     # --- DFL loss on fg anchors ---

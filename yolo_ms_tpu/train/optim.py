@@ -52,8 +52,15 @@ def build_schedule(cfg: TrainingConfig, steps_per_epoch: int) -> Callable:
 
 def freeze_mask(params, patterns: list[str]):
     """True = trainable. Substring match on the '/'-joined param path
-    (utils.py:84-94 semantics)."""
+    (utils.py:84-94 semantics).
+
+    Reference configs write patterns with torch's dot separator
+    ("backbone.conv1", finetune_example.yaml / utils.py:84-94); flax paths
+    join with '/'. Both separators are accepted — dots in patterns are
+    normalized to '/' so reference finetune configs freeze what they say.
+    """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    norm_patterns = [pat.replace(".", "/") for pat in patterns]
 
     def path_str(path):
         return "/".join(
@@ -61,7 +68,9 @@ def freeze_mask(params, patterns: list[str]):
         )
 
     frozen_paths = {
-        path_str(p) for p, _ in flat if any(pat in path_str(p) for pat in patterns)
+        path_str(p)
+        for p, _ in flat
+        if any(pat in path_str(p) for pat in norm_patterns)
     }
 
     def mask_fn(path, _):

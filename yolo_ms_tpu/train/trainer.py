@@ -143,6 +143,7 @@ class Trainer:
             alpha=cfg.loss.alpha,
             gamma=cfg.loss.gamma,
             tal_topk=cfg.loss.tal_topk,
+            iou_type=cfg.loss.iou_type,
         )
 
         # --- data ---

@@ -51,13 +51,36 @@ def restore_checkpoint(path: str, target: Any | None = None) -> Any:
 
 
 class CheckpointManager:
-    """best / last / periodic checkpoint policy (train.py:410-425 parity)."""
+    """best / last / periodic checkpoint policy (train.py:410-425 parity).
+
+    ``best_metric`` persists to ``best_metric.json`` beside the checkpoints
+    and is reloaded on construction, so a resumed run never overwrites
+    ``best.ckpt`` with a worse model than the pre-preemption best.
+    """
 
     def __init__(self, directory: str, save_period: int = 10):
         self.dir = os.path.abspath(directory)
         os.makedirs(self.dir, exist_ok=True)
         self.save_period = save_period
-        self.best_metric = float("-inf")
+        self.best_metric = self._load_best_metric()
+
+    def _best_metric_path(self) -> str:
+        return os.path.join(self.dir, "best_metric.json")
+
+    def _load_best_metric(self) -> float:
+        import json
+
+        try:
+            with open(self._best_metric_path()) as f:
+                return float(json.load(f)["best_metric"])
+        except (OSError, ValueError, KeyError):
+            return float("-inf")
+
+    def _save_best_metric(self) -> None:
+        import json
+
+        with open(self._best_metric_path(), "w") as f:
+            json.dump({"best_metric": self.best_metric}, f)
 
     def on_epoch_end(self, state, epoch: int, metric: float | None = None):
         save_checkpoint(os.path.join(self.dir, "last.ckpt"), state)
@@ -65,6 +88,7 @@ class CheckpointManager:
             save_checkpoint(os.path.join(self.dir, f"epoch_{epoch + 1}.ckpt"), state)
         if metric is not None and metric > self.best_metric:
             self.best_metric = metric
+            self._save_best_metric()
             save_checkpoint(os.path.join(self.dir, "best.ckpt"), state)
             return True
         return False

@@ -147,6 +147,7 @@ class LossConfig:
     dfl_weight: float = 1.5
     use_focal: bool = False
     tal_topk: int = 10
+    iou_type: str = "ciou"  # iou | giou | diou | ciou (reference loss.py:95,118)
     extra: dict = field(default_factory=dict)
 
 
