@@ -75,6 +75,18 @@ def main() -> None:
 
         return fn
 
+    def e2e_fused_fn(model, nc):
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        def fn(i, v, images_u8):
+            x = (images_u8 + i.astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
+            x = (x - mean) / std
+            raw = model.apply(v, x, train=False)
+            out = fused_postprocess(raw, nc)
+            return out["scores"].sum()
+
+        return fn
+
     def fwd_fn(model):
         def fn(i, v, x):
             raw = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-3, train=False)
@@ -106,11 +118,14 @@ def main() -> None:
         x = imgs.astype(jnp.bfloat16) / 255.0
         dt_fwd = scan_time(fwd_fn(model), (v, x))
         dt_e2e = scan_time(e2e_fn(model, 80), (v, imgs))
+        dt_fused = scan_time(e2e_fused_fn(model, 80), (v, imgs))
         inference[f"{arch}_bs{bs}"] = {
             "forward_ms": round(dt_fwd * 1000, 2),
             "forward_img_per_s": round(bs / dt_fwd, 1),
             "e2e_ms": round(dt_e2e * 1000, 2),
             "e2e_img_per_s": round(bs / dt_e2e, 1),
+            "e2e_fused_ms": round(dt_fused * 1000, 2),
+            "e2e_fused_img_per_s": round(bs / dt_fused, 1),
         }
         print(arch, bs, inference[f"{arch}_bs{bs}"], flush=True)
     results["inference"] = inference
@@ -122,7 +137,21 @@ def main() -> None:
     from yolo_ms_tpu.utils.config import TrainingConfig
 
     train_res = {}
-    for arch, bs in [("n", 32)] if args.quick else [("n", 32), ("yolo-ms-xs", 32)]:
+    # (arch, batch, max_gt, n_valid_gt): the max_gt=128 rows measure the
+    # SHIPPED config default (utils/config.py max_gt) at realistic COCO GT
+    # density (~30 boxes/img), not a toy padding capacity.
+    train_configs = (
+        [("n", 32, 16, 4)]
+        if args.quick
+        else [
+            ("n", 32, 16, 4),
+            ("yolo-ms-xs", 32, 16, 4),
+            ("n", 32, 128, 32),
+            ("n", 128, 128, 32),
+            ("yolo-ms-xs", 32, 128, 32),
+        ]
+    )
+    for arch, bs, max_gt, n_gt in train_configs:
         model = build_model(arch, num_classes=80, dtype=jnp.bfloat16)
         v = init_model(model, jax.random.PRNGKey(0), (640, 640))
         loss_fn = DetectionLoss(num_classes=80)
@@ -135,13 +164,20 @@ def main() -> None:
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(0),
         )
+        # scattered realistic boxes (varied centers/sizes), n_gt valid rows
+        centers = rng.uniform(0.1, 0.9, (bs, max_gt, 2)).astype(np.float32)
+        sizes = rng.uniform(0.02, 0.4, (bs, max_gt, 2)).astype(np.float32)
         batch = {
             "images": jnp.asarray(
                 rng.standard_normal((bs, 640, 640, 3)), jnp.float32
             ),
-            "boxes": jnp.tile(jnp.asarray([0.5, 0.5, 0.3, 0.3]), (bs, 16, 1)),
-            "labels": jnp.zeros((bs, 16), jnp.int32),
-            "mask": jnp.tile(jnp.asarray([True] * 4 + [False] * 12), (bs, 1)),
+            "boxes": jnp.asarray(np.concatenate([centers, sizes], -1)),
+            "labels": jnp.asarray(
+                rng.integers(0, 80, (bs, max_gt)), jnp.int32
+            ),
+            "mask": jnp.asarray(
+                np.arange(max_gt)[None] < n_gt, jnp.bool_
+            ).repeat(bs, 0),
         }
         state, m = step(state, batch)
         _ = float(m["total_loss"])  # sync after compile
@@ -151,11 +187,13 @@ def main() -> None:
             state, m = step(state, batch)
         _ = float(m["total_loss"])  # chained states -> full sync
         dt = (time.perf_counter() - t0) / n_iter
-        train_res[f"{arch}_bs{bs}"] = {
+        key = f"{arch}_bs{bs}_gt{max_gt}"
+        train_res[key] = {
             "step_ms": round(dt * 1000, 1),
             "img_per_s": round(bs / dt, 1),
+            "num_fg": float(m["num_fg"]),
         }
-        print("train", arch, bs, train_res[f"{arch}_bs{bs}"], flush=True)
+        print("train", key, train_res[key], flush=True)
     results["train_step"] = train_res
 
     # ---- host preprocess (native decode) ----
