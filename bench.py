@@ -63,9 +63,8 @@ def main() -> None:
     import numpy as np
 
     from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
-    from yolo_ms_tpu.models.decode import decode_predictions
     from yolo_ms_tpu.models.registry import build_model, init_model
-    from yolo_ms_tpu.ops.nms import batched_nms
+    from yolo_ms_tpu.ops.postprocess import fused_postprocess
     from yolo_ms_tpu.parallel.distributed import maybe_initialize_distributed
     from yolo_ms_tpu.utils.profiler import enable_compilation_cache
 
@@ -82,8 +81,7 @@ def main() -> None:
         x = images_u8.astype(jnp.bfloat16) / 255.0
         x = (x - mean) / std
         raw = model.apply(v, x, train=False)
-        preds = decode_predictions(raw, NUM_CLASSES)
-        out = batched_nms(preds.astype(jnp.float32))
+        out = fused_postprocess(raw, NUM_CLASSES)
         return out["scores"].sum() + out["boxes"].sum()
 
     @jax.jit

@@ -68,13 +68,55 @@ def main(arch="n", batch=128):
         out = fused_postprocess(raw, nc)
         return out["scores"].sum() + out["boxes"].sum()
 
+    def fwd_fused512(v, x):
+        raw = model.apply(v, x, train=False)
+        out = fused_postprocess(raw, nc, pre_nms_topk=512)
+        return out["scores"].sum() + out["boxes"].sum()
+
+    def fwd_fused_xla(v, x):
+        raw = model.apply(v, x, train=False)
+        out = fused_postprocess(raw, nc, use_pallas=False)
+        return out["scores"].sum() + out["boxes"].sum()
+
+    def fwd_sel(v, x):
+        """Everything in the fused path up to (not including) NMS: flatten,
+        max/argmax, full-A DFL expectation, top-k, gathers, box decode."""
+        raw = model.apply(v, x, train=False)
+        reg_max, k = 16, 1024
+        no = 4 * reg_max + nc
+        b = raw[0].shape[0]
+        flat = jnp.concatenate([m.reshape(b, -1, no) for m in raw], axis=1)
+        a = flat.shape[1]
+        box_logits = flat[..., : 4 * reg_max]
+        cls_logits = flat[..., 4 * reg_max :]
+        max_logit = jnp.max(cls_logits, axis=-1)
+        cls_id = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        dist = box_logits.astype(jnp.float32).reshape(b, a, 4, reg_max)
+        p = jax.nn.softmax(dist, axis=-1)
+        bins = jnp.arange(reg_max, dtype=jnp.float32)
+        ltrb_all = jnp.einsum("bacr,r->bac", p, bins)
+        top_logit, top_idx = jax.lax.top_k(max_logit.astype(jnp.float32), k)
+        ltrb = jnp.take_along_axis(ltrb_all, top_idx[..., None], axis=1)
+        top_classes = jnp.take_along_axis(cls_id, top_idx, axis=1)
+        return (
+            ltrb.sum()
+            + top_logit.sum()
+            + top_classes.astype(jnp.float32).sum()
+        )
+
     rng = np.random.default_rng(0)
     images = jax.device_put(
         jnp.asarray(rng.standard_normal((batch, 640, 640, 3)), jnp.bfloat16)
     )
 
     results = {}
-    for name, fn in [("fwd", fwd_only), ("fwd+old", fwd_old), ("fwd+fused", fwd_fused)]:
+    for name, fn in [
+        ("fwd", fwd_only),
+        ("fwd+old", fwd_old),
+        ("fwd+fused_xla", fwd_fused_xla),
+        ("fwd+fused", fwd_fused),
+        ("fwd+fused512", fwd_fused512),
+    ]:
         ms = timeit(scan_over(fn), variables, images)
         results[name] = round(ms, 2)
         print(

@@ -31,9 +31,8 @@ import numpy as np
 
 from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from yolo_ms_tpu.data.decode import decode_and_resize, decode_image
-from yolo_ms_tpu.models.decode import decode_predictions
 from yolo_ms_tpu.models.registry import build_model
-from yolo_ms_tpu.ops.nms import batched_nms
+from yolo_ms_tpu.ops.postprocess import fused_postprocess
 
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
 
@@ -80,9 +79,13 @@ class Predictor:
             IMAGENET_STD, self.model.dtype
         )
         raw = self.model.apply(variables, x, train=False)
-        preds = decode_predictions(raw, self.num_classes, self.reg_max)
-        return batched_nms(
-            preds.astype(jnp.float32),
+        # fused tail: argmax on raw logits, f32 DFL decode, on-device NMS —
+        # same outputs as decode_predictions+batched_nms, ~25% less
+        # post-process cost at bs=128 (benchmarks/postproc_probe.py)
+        return fused_postprocess(
+            raw,
+            self.num_classes,
+            self.reg_max,
             conf_thresh=self.conf_thresh,
             iou_thresh=self.iou_thresh,
             max_det=self.max_det,

@@ -56,19 +56,17 @@ def yolo_params(version: str) -> tuple[float, float, float]:
     return table[version]
 
 
-# Opt-in switch for the Pallas depthwise kernel (ops/pallas/depthwise.py).
-# Measured on v5e round 1: the whole-image-block kernel is SLOWER in-model
-# than XLA's grouped conv (yolo-ms-xs bs=32: 786 vs 1008 img/s — one grid
-# step per image costs more than the conv itself), so XLA stays the default
-# until the kernel batches several images per grid step.
-USE_PALLAS_DEPTHWISE = False
-
-
 class _DepthwiseConv(nn.Module):
     """Stride-1 SAME depthwise conv with the same parameter layout as
     nn.Conv (kernel [k, k, 1, C] HWIO under 'kernel') so checkpoints are
-    interchangeable. Optionally routes to the Pallas VMEM kernel on TPU
-    (see USE_PALLAS_DEPTHWISE above)."""
+    interchangeable.
+
+    XLA's grouped-conv emitter is the production path: per-shape
+    measurements on v5e (benchmarks/dw_probe.py, PERF.md) put it at
+    3-13 TFLOP/s across every MS-family depthwise site, and a whole-image
+    VMEM Pallas kernel measured 2-6x SLOWER at each of them (depthwise is
+    VPU-FLOP-bound once resident; XLA's emitter reaches the MXU, a tap
+    loop cannot)."""
 
     features: int
     kernel_size: int
@@ -80,18 +78,6 @@ class _DepthwiseConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, k, 1, c), jnp.float32
         )
-        from yolo_ms_tpu.ops.pallas.depthwise import depthwise_conv, pallas_viable
-
-        if (
-            USE_PALLAS_DEPTHWISE
-            and jax.default_backend() == "tpu"
-            and pallas_viable(x.shape[1], x.shape[2], c, k)
-        ):
-            return depthwise_conv(
-                x.astype(self.dtype),
-                kernel.astype(self.dtype).reshape(k, k, c),
-                k,
-            )
         pad = k // 2
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -110,8 +96,7 @@ class ConvBnSiLU(nn.Module):
     XLA fuses the BN scale/shift and SiLU into the convolution epilogue, and
     at inference BN can be folded into the conv weights so the hot path is a
     single MXU op. Full-depthwise stride-1 convs go through _DepthwiseConv
-    (XLA grouped conv by default; Pallas kernel opt-in, see
-    USE_PALLAS_DEPTHWISE above).
+    (XLA grouped conv — measured fastest, see PERF.md).
     """
 
     features: int
@@ -255,13 +240,41 @@ def dfl_expectation(dist: jax.Array) -> jax.Array:
     """Distribution -> coordinate expectation (components.py:162-191).
 
     dist: [..., 4, reg_max] logits over bins for each of the 4 ltrb sides.
-    Returns [..., 4]: softmax expectation sum_i(i * p_i). This replaces the
-    reference's frozen arange-weighted 1x1 conv with a fused softmax+dot.
+    Returns [..., 4] f32: softmax expectation sum_i(i * p_i). This replaces
+    the reference's frozen arange-weighted 1x1 conv.
+
+    TPU-layout note: the obvious ``softmax(dist, -1) @ arange`` runs every
+    pass over a reg_max(=16)-wide trailing axis — 1/8 lane utilization on the
+    128-wide VPU, and XLA materializes padded intermediates (measured
+    ~3.3 ms extra at [128, 8400, 4, 16] on v5e). Instead the last two dims
+    are flattened back to the lane-friendly 4*reg_max axis (XLA cancels the
+    reshape against the caller's) and the per-side softmax + expectation
+    become a single [4*reg_max, 8] matmul:
+
+        e   = exp(x - rowmax)          # [..., 4*reg_max], full-lane
+        out = e @ [W | S]              # [..., 8] = numerators | denominators
+        exp_i = out[..., i] / out[..., 4+i]
+
+    with W[j, i] = (j % reg_max) * [j // reg_max == i] and
+    S[j, i] = [j // reg_max == i]. The shift is the row max over all
+    4*reg_max logits (softmax is shift-invariant per side); the diff is
+    clamped at -60 so a whole side cannot underflow to 0/0 (distortion only
+    for >60-logit gaps between sides, far beyond trained DFL ranges).
     """
-    reg_max = dist.shape[-1]
-    probs = jax.nn.softmax(dist, axis=-1)
-    bins = jnp.arange(reg_max, dtype=probs.dtype)
-    return jnp.einsum("...c,c->...", probs, bins)
+    *lead, k, reg_max = dist.shape
+    x = dist.astype(jnp.float32).reshape(*lead, k * reg_max)
+    c = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(jnp.maximum(x - c, -60.0))
+    idx = jnp.arange(k * reg_max)
+    seg = (idx[:, None] // reg_max == jnp.arange(k)[None, :]).astype(jnp.float32)
+    rhs = jnp.concatenate([seg * (idx % reg_max)[:, None], seg], axis=1)
+    # HIGHEST: e values span many binades; bf16-rounded operands (the TPU
+    # f32-matmul default) would cost ~0.4% relative error -> up to ~2 px at
+    # stride 32. Contraction is only 4*reg_max wide, so the cost is nil.
+    out = jnp.einsum(
+        "...i,ij->...j", e, rhs, precision=jax.lax.Precision.HIGHEST
+    )
+    return out[..., :k] / out[..., k:]
 
 
 # --------------------------------------------------------------------------

@@ -1,1 +1,1 @@
-from yolo_ms_tpu.ops.pallas.nms_kernel import nms_pallas  # noqa: F401
+from yolo_ms_tpu.ops.pallas.select import select_scale, select_supported  # noqa: F401

@@ -2,20 +2,22 @@
 
 Reference semantics (tools/test.py:167-218): decode -> max-class score ->
 confidence threshold -> per-class NMS -> top detections. The naive pipeline
-(decode_predictions + batched_nms) materializes [B, A, nc] sigmoid scores and
-a [B, A, 4+nc] f32 tensor for A=8400 anchors — measured ~10 ms flat at
-bs=128 on v5e (31-42% of end-to-end inference). This module fuses the whole
-tail and exploits three identities:
+(decode_predictions + batched_nms) casts every raw map to f32, materializes
+the [B, A, 4+nc] f32 decode tensor and a full [B, A, nc] sigmoid — ~1.4 GB
+of HBM traffic at bs=128/A=8400 that never reaches the output. This module
+fuses the tail around three identities:
 
 1. argmax/max over class logits == argmax/max over sigmoid scores
-   (sigmoid is monotonic) -> the per-class sigmoid over [B, A, nc] is never
-   computed; only the [B, A] max logit is sigmoided.
-2. Only the pre-NMS top-K anchors ever reach the output -> DFL softmax
-   expectation + anchor decode run on [B, K, 4, reg_max] instead of
-   [B, A, 4, reg_max] (K=1024 vs A=8400).
-3. Box-coordinate gathers ride jnp.take_along_axis on a contiguous trailing
-   axis (exact, memory-bound) instead of one-hot f32 matmuls that would need
-   HIGHEST precision on the MXU.
+   (sigmoid is monotonic) -> the per-class sigmoid is never computed; only
+   the [B, K] top logits are sigmoided.
+2. The DFL expectation output is tiny ([B, A, 4] f32) even when computed for
+   every anchor, so it is decoded in f32 *before* selection and only
+   narrow 4-float rows are gathered for the K pre-NMS survivors. (A v1 of
+   this module gathered the raw [B, K, 4*reg_max] logits instead — the wide
+   row-gathers made it *slower* than the unfused path on TPU.)
+3. Anchor centers and strides are pure functions of the flattened anchor
+   index (level offsets are static), so the survivors' anchors are computed
+   arithmetically from top_idx — no gather at all.
 
 Output contract identical to ops/nms.py:batched_nms: dict with 'boxes'
 [B, max_det, 4] xyxy f32, 'scores', 'classes', 'valid'. Equivalence with the
@@ -29,9 +31,12 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from yolo_ms_tpu.models.decode import DEFAULT_STRIDES, make_anchors
+from yolo_ms_tpu.models.decode import DEFAULT_STRIDES
+from yolo_ms_tpu.nn.blocks import dfl_expectation
 from yolo_ms_tpu.ops.nms import CLASS_OFFSET, nms_fixed
+from yolo_ms_tpu.ops.pallas.select import select_scale, select_supported
 
 
 @partial(
@@ -45,6 +50,7 @@ from yolo_ms_tpu.ops.nms import CLASS_OFFSET, nms_fixed
         "pre_nms_topk",
         "max_det",
         "class_aware",
+        "use_pallas",
     ),
 )
 def fused_postprocess(
@@ -57,51 +63,83 @@ def fused_postprocess(
     pre_nms_topk: int = 1024,
     max_det: int = 300,
     class_aware: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Raw per-scale NHWC maps [B, H, W, 4*reg_max+nc] -> final detections."""
     no = 4 * reg_max + num_classes
     b = raw_maps[0].shape[0]
     shapes = [(m.shape[1], m.shape[2]) for m in raw_maps]
-    anchors, stride_t = make_anchors(shapes, strides, dtype=jnp.float32)
 
-    flat = jnp.concatenate(
-        [m.reshape(b, -1, no) for m in raw_maps], axis=1
-    )  # [B, A, no] raw dtype (bf16 on the serving path)
-    a = flat.shape[1]
-    box_logits = flat[..., : 4 * reg_max]  # [B, A, 4*reg_max]
-    cls_logits = flat[..., 4 * reg_max :]  # [B, A, nc]
+    # (1)+(2) per-scale reduction BEFORE any concat: max/argmax over class
+    # logits (sigmoid deferred to the K winners — monotonic) and the f32 DFL
+    # expectation (lane-friendly matmul inside dfl_expectation). Only the
+    # tiny per-anchor results [B, HW, 6-ish] are ever concatenated; the
+    # [B, A, no] raw concat (180 MB at bs=128) never exists.
+    #
+    # use_pallas opts into the Pallas selection kernel
+    # (ops/pallas/select.py). Measured on v5e at bs=128 it LOSES to this
+    # XLA path (~10 ms vs ~4 ms for the selection stages: the pattern is
+    # memory-bound multi-reductions, where XLA's fused elementwise engine
+    # is already near the HBM floor and the kernel pays per-grid-step VPU
+    # lane padding) — so the default is the XLA path on every backend.
+    if use_pallas is None:
+        use_pallas = False
+    max_l, cls_l, ltrb_l = [], [], []
+    for m in raw_maps:
+        hw = m.shape[1] * m.shape[2]
+        flat_m = m.reshape(b, hw, no)
+        if use_pallas and select_supported(hw, num_classes):
+            mx, cid, ltrb_s = select_scale(flat_m, num_classes, reg_max)
+            mx = mx.astype(flat_m.dtype)  # top-k key dtype parity with XLA path
+        else:
+            cls_m = flat_m[..., 4 * reg_max :]
+            mx = jnp.max(cls_m, axis=-1)
+            cid = jnp.argmax(cls_m, axis=-1).astype(jnp.int32)
+            ltrb_s = dfl_expectation(
+                flat_m[..., : 4 * reg_max].reshape(b, hw, 4, reg_max)
+            )
+        max_l.append(mx)
+        cls_l.append(cid)
+        ltrb_l.append(ltrb_s)
+    max_logit = jnp.concatenate(max_l, axis=1)  # [B, A]
+    cls_id = jnp.concatenate(cls_l, axis=1)  # [B, A]
+    ltrb_all = jnp.concatenate(ltrb_l, axis=1)  # [B, A, 4] f32
+    a = max_logit.shape[1]
 
-    # (1) class selection on raw logits — sigmoid deferred to the K winners
-    max_logit = jnp.max(cls_logits, axis=-1)  # [B, A]
-    cls_id = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)  # [B, A]
-
-    # (2) pre-NMS top-K on the max logit (same order as sigmoid scores)
+    # (3) pre-NMS top-K on the max logit (same order as sigmoid scores)
     k = min(pre_nms_topk, a)
-    _, top_idx = jax.lax.top_k(max_logit.astype(jnp.float32), k)  # [B, K]
+    top_logit, top_idx = jax.lax.top_k(max_logit.astype(jnp.float32), k)
 
-    # (3) contiguous gathers for the K survivors
-    top_box_logits = jnp.take_along_axis(
-        box_logits, top_idx[..., None], axis=1
-    )  # [B, K, 4*reg_max]
-    top_logit = jnp.take_along_axis(max_logit, top_idx, axis=1)
+    # (4) narrow gathers for the K survivors (4-float rows / scalars)
+    ltrb = jnp.take_along_axis(ltrb_all, top_idx[..., None], axis=1)  # [B,K,4]
     top_classes = jnp.take_along_axis(cls_id, top_idx, axis=1)  # [B, K]
-    anchors_k = anchors[top_idx]  # [B, K, 2] (constant table row gather)
-    strides_k = stride_t[top_idx]  # [B, K, 1]
 
-    # f32 DFL expectation + anchor decode on K anchors only
-    dist = top_box_logits.astype(jnp.float32).reshape(b, k, 4, reg_max)
-    p = jax.nn.softmax(dist, axis=-1)
-    bins = jnp.arange(reg_max, dtype=jnp.float32)
-    ltrb = jnp.einsum("bkcr,r->bkc", p, bins)  # [B, K, 4]
-    x1y1 = (anchors_k - ltrb[..., :2]) * strides_k
-    x2y2 = (anchors_k + ltrb[..., 2:]) * strides_k
+    # (5) anchors/strides computed arithmetically from the flat index —
+    # level boundaries are static, so no table gather is needed.
+    level_sizes = [h * w for h, w in shapes]
+    offs = np.cumsum([0] + level_sizes)
+    lvl = sum(
+        (top_idx >= int(offs[i])).astype(jnp.int32)
+        for i in range(1, len(shapes))
+    )
+    width_t = jnp.asarray([w for _, w in shapes], jnp.int32)[lvl]  # [B, K]
+    base_t = jnp.asarray(offs[:-1], jnp.int32)[lvl]
+    stride_k = jnp.asarray(strides, jnp.float32)[lvl][..., None]  # [B, K, 1]
+    local = top_idx - base_t
+    ax = (local % width_t).astype(jnp.float32) + 0.5
+    ay = (local // width_t).astype(jnp.float32) + 0.5
+    anchors_k = jnp.stack([ax, ay], axis=-1)  # [B, K, 2] grid units
+
+    # f32 anchor decode on K anchors (yolov8_head.py:138-143 semantics)
+    x1y1 = (anchors_k - ltrb[..., :2]) * stride_k
+    x2y2 = (anchors_k + ltrb[..., 2:]) * stride_k
     top_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)  # [B, K, 4] xyxy px
 
     # confidence gate (reference uses strict >, tools/test.py:182)
-    top_scores = jax.nn.sigmoid(top_logit.astype(jnp.float32))
+    top_scores = jax.nn.sigmoid(top_logit)
     top_scores = jnp.where(top_scores > conf_thresh, top_scores, -1.0)
 
-    # (4) class-aware NMS via the class-offset trick + greedy fixed point
+    # (6) class-aware NMS via the class-offset trick + greedy fixed point
     if class_aware and num_classes > 1:
         shifted = top_boxes + (
             top_classes[..., None].astype(top_boxes.dtype) * CLASS_OFFSET
@@ -113,7 +151,7 @@ def fused_postprocess(
     )
     kept_scores = jnp.where(keep, top_scores, -1.0)
 
-    # (5) final top max_det
+    # (7) final top max_det
     kd = min(max_det, k)
     out_scores, out_idx = jax.lax.top_k(kept_scores, kd)  # [B, kd]
     out_boxes = jnp.take_along_axis(top_boxes, out_idx[..., None], axis=1)

@@ -36,10 +36,9 @@ from flax import struct
 from yolo_ms_tpu.data.coco import CocoDetectionDataset
 from yolo_ms_tpu.data.loader import DetectionLoader
 from yolo_ms_tpu.eval.coco_map import MeanAveragePrecision
-from yolo_ms_tpu.models.decode import decode_predictions
 from yolo_ms_tpu.models.registry import build_model, init_model
 from yolo_ms_tpu.ops.iou import xywh_to_xyxy
-from yolo_ms_tpu.ops.nms import batched_nms
+from yolo_ms_tpu.ops.postprocess import fused_postprocess
 from yolo_ms_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from yolo_ms_tpu.train.loss import DetectionLoss
 from yolo_ms_tpu.train.optim import build_optimizer
@@ -271,11 +270,10 @@ class Trainer:
         raw = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
-        preds = decode_predictions(
-            raw, self.cfg.dataset.num_classes, self.cfg.model.reg_max
-        )
-        return batched_nms(
-            preds.astype(jnp.float32),
+        return fused_postprocess(
+            raw,
+            self.cfg.dataset.num_classes,
+            self.cfg.model.reg_max,
             conf_thresh=self.cfg.evaluation.confidence_threshold,
             iou_thresh=self.cfg.evaluation.iou_threshold,
         )
