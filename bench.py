@@ -63,6 +63,7 @@ def main() -> None:
     import numpy as np
 
     from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
     from yolo_ms_tpu.models.registry import build_model, init_model
     from yolo_ms_tpu.ops.postprocess import fused_postprocess
     from yolo_ms_tpu.parallel.distributed import maybe_initialize_distributed
@@ -72,7 +73,10 @@ def main() -> None:
     enable_compilation_cache()
 
     model = build_model(ARCH, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
-    variables = init_model(model, jax.random.PRNGKey(0), (640, 640))
+    # serving structure: BN folded into conv weights (models/deploy.py)
+    variables = fold_batchnorm(
+        init_model(model, jax.random.PRNGKey(0), (640, 640))
+    )
 
     mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
     std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
@@ -80,7 +84,8 @@ def main() -> None:
     def pipeline(v, images_u8):
         x = images_u8.astype(jnp.bfloat16) / 255.0
         x = (x - mean) / std
-        raw = model.apply(v, x, train=False)
+        with deploy_mode():
+            raw = model.apply(v, x, train=False)
         out = fused_postprocess(raw, NUM_CLASSES)
         return out["scores"].sum() + out["boxes"].sum()
 

@@ -87,6 +87,21 @@ def main() -> None:
 
         return fn
 
+    def e2e_deploy_fn(model, nc):
+        """The shipped serving config: BN-folded graph + fused tail."""
+        from yolo_ms_tpu.models.deploy import deploy_mode
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        def fn(i, v, images_u8):
+            x = (images_u8 + i.astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
+            x = (x - mean) / std
+            with deploy_mode():
+                raw = model.apply(v, x, train=False)
+            out = fused_postprocess(raw, nc)
+            return out["scores"].sum()
+
+        return fn
+
     def fwd_fn(model):
         def fn(i, v, x):
             raw = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-3, train=False)
@@ -116,9 +131,13 @@ def main() -> None:
             jnp.asarray(rng.integers(0, 256, (bs, 640, 640, 3), dtype=np.uint8))
         )
         x = imgs.astype(jnp.bfloat16) / 255.0
+        from yolo_ms_tpu.models.deploy import fold_batchnorm
+
+        folded = fold_batchnorm(v)
         dt_fwd = scan_time(fwd_fn(model), (v, x))
         dt_e2e = scan_time(e2e_fn(model, 80), (v, imgs))
         dt_fused = scan_time(e2e_fused_fn(model, 80), (v, imgs))
+        dt_deploy = scan_time(e2e_deploy_fn(model, 80), (folded, imgs))
         inference[f"{arch}_bs{bs}"] = {
             "forward_ms": round(dt_fwd * 1000, 2),
             "forward_img_per_s": round(bs / dt_fwd, 1),
@@ -126,6 +145,8 @@ def main() -> None:
             "e2e_img_per_s": round(bs / dt_e2e, 1),
             "e2e_fused_ms": round(dt_fused * 1000, 2),
             "e2e_fused_img_per_s": round(bs / dt_fused, 1),
+            "e2e_deploy_ms": round(dt_deploy * 1000, 2),
+            "e2e_deploy_img_per_s": round(bs / dt_deploy, 1),
         }
         print(arch, bs, inference[f"{arch}_bs{bs}"], flush=True)
     results["inference"] = inference

@@ -1,0 +1,89 @@
+"""Deploy-mode BN folding (models/deploy.py) equivalence tests.
+
+The folded conv(+bias)+SiLU graph must reproduce the train-structure eval
+path (conv -> BatchNorm(running stats) -> SiLU) to float tolerance, for
+both plain and MS (depthwise-containing) models, after batch_stats have
+drifted from their init values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
+from yolo_ms_tpu.models.registry import build_model, init_model
+
+
+def _trained_ish_variables(model, rng, img=64):
+    """Init then perturb params/batch_stats so folding is non-trivial."""
+    variables = init_model(model, jax.random.PRNGKey(0), (img, img))
+
+    def jitter(leaf, key_scale):
+        noise = rng.normal(0, 0.05, leaf.shape).astype(np.float32)
+        return leaf + jnp.asarray(noise) * key_scale
+
+    params = jax.tree_util.tree_map(lambda p: jitter(p, 1.0), model and variables["params"])
+    stats = jax.tree_util.tree_map(
+        lambda s: jnp.abs(jitter(s, 1.0)) + 0.05, variables["batch_stats"]
+    )
+    return {"params": params, "batch_stats": stats}
+
+
+@pytest.mark.parametrize("arch", ["n", "yolo-ms-xs"])
+def test_folded_matches_eval(arch):
+    model = build_model(arch, num_classes=8)
+    rng = np.random.default_rng(0)
+    variables = _trained_ish_variables(model, rng)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    want = model.apply(variables, x, train=False)
+    folded = fold_batchnorm(variables)
+    assert "batch_stats" not in folded
+    with deploy_mode():
+        got = model.apply(folded, x, train=False)
+
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_deploy_structure_has_no_bn():
+    model = build_model("n", num_classes=8)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    folded = fold_batchnorm(variables)
+    flat = jax.tree_util.tree_flatten_with_path(folded)[0]
+    paths = ["/".join(str(k) for k in p) for p, _ in flat]
+    assert not any("bn" in p for p in paths)
+    assert any("bias" in p for p in paths)
+
+    # deploy-mode init builds exactly the folded structure
+    with deploy_mode():
+        deploy_init = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+    want_tree = jax.tree_util.tree_structure(folded)
+    got_tree = jax.tree_util.tree_structure(deploy_init)
+    assert want_tree == got_tree
+
+
+def test_predictor_uses_folding():
+    from yolo_ms_tpu.infer.predictor import Predictor
+
+    model = build_model("n", num_classes=8)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    p = Predictor("n", variables, num_classes=8, input_size=(64, 64), conf_thresh=1e-6)
+    assert p.deploy
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    out = p.predict_batch(imgs)
+    assert np.isfinite(out["boxes"]).all()
+
+    p2 = Predictor(
+        "n", variables, num_classes=8, input_size=(64, 64), conf_thresh=1e-6, deploy=False
+    )
+    out2 = p2.predict_batch(imgs)
+    v = out["valid"] & out2["valid"]
+    np.testing.assert_allclose(out["boxes"][v], out2["boxes"][v], rtol=1e-3, atol=0.05)
+    np.testing.assert_allclose(out["scores"][v], out2["scores"][v], rtol=1e-3, atol=1e-4)

@@ -31,6 +31,7 @@ import numpy as np
 
 from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from yolo_ms_tpu.data.decode import decode_and_resize, decode_image
+from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
 from yolo_ms_tpu.models.registry import build_model
 from yolo_ms_tpu.ops.postprocess import fused_postprocess
 
@@ -53,11 +54,17 @@ class Predictor:
         letterbox: bool = False,
         dtype=jnp.float32,
         pre_nms_topk: int = 1024,
+        deploy: bool = True,
     ):
         self.model = build_model(
             architecture, num_classes=num_classes, reg_max=reg_max, dtype=dtype
         )
-        self.variables = variables
+        # Deploy-time BN folding (models/deploy.py): fold BN affine into the
+        # conv weights so the serving graph is conv(+bias)+SiLU only —
+        # removes the layout-copy sandwich around every narrow-channel conv
+        # (measured 43% of bs=32 forward; PERF.md).
+        self.deploy = deploy and "batch_stats" in variables
+        self.variables = fold_batchnorm(variables) if self.deploy else variables
         self.num_classes = num_classes
         self.class_names = class_names or [f"class_{i}" for i in range(num_classes)]
         self.input_size = tuple(input_size)
@@ -78,7 +85,11 @@ class Predictor:
         x = (x - jnp.asarray(IMAGENET_MEAN, self.model.dtype)) / jnp.asarray(
             IMAGENET_STD, self.model.dtype
         )
-        raw = self.model.apply(variables, x, train=False)
+        if self.deploy:
+            with deploy_mode():
+                raw = self.model.apply(variables, x, train=False)
+        else:
+            raw = self.model.apply(variables, x, train=False)
         # fused tail: argmax on raw logits, f32 DFL decode, on-device NMS —
         # same outputs as decode_predictions+batched_nms, ~25% less
         # post-process cost at bs=128 (benchmarks/postproc_probe.py)

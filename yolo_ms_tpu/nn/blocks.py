@@ -34,6 +34,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Deploy mode: when this contextvar is True during trace/init, ConvBnSiLU
+# builds conv(+bias)+SiLU with NO BatchNorm ops — the BN affine transform is
+# expected to be pre-folded into the conv kernel/bias
+# (models/deploy.py:fold_batchnorm). Serving rationale (PERF.md): with BN as
+# separate ops, XLA's layout assignment puts the conv in batch-minor layout
+# but the per-channel BN broadcasts in channel-minor layout, inserting a
+# relayout copy on BOTH sides of every narrow-channel conv — measured 43%
+# of the v8-n bs=32 forward. Folding removes the ops, so bias+SiLU fuse
+# into the conv epilogue and the copies disappear.
+import contextvars
+
+_DEPLOY_MODE: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "yolo_ms_tpu_deploy_mode", default=False
+)
+
+
+class deploy_mode:
+    """Context manager: trace model.apply under folded-BN deploy structure."""
+
+    def __enter__(self):
+        self._token = _DEPLOY_MODE.set(True)
+        return self
+
+    def __exit__(self, *exc):
+        _DEPLOY_MODE.reset(self._token)
+        return False
+
+
 # BatchNorm constants pinned to the reference (components.py:73).
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97  # flax decay == 1 - torch momentum (0.03)
@@ -70,6 +98,7 @@ class _DepthwiseConv(nn.Module):
 
     features: int
     kernel_size: int
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,7 +108,7 @@ class _DepthwiseConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (k, k, 1, c), jnp.float32
         )
         pad = k // 2
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             (1, 1),
@@ -87,6 +116,10 @@ class _DepthwiseConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
         )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ConvBnSiLU(nn.Module):
@@ -109,6 +142,8 @@ class ConvBnSiLU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pad = self.kernel_size // 2
+        deploy = _DEPLOY_MODE.get()
+        assert not (deploy and train), "deploy mode is inference-only"
         is_depthwise = (
             self.groups == self.features
             and self.groups == x.shape[-1]
@@ -116,7 +151,11 @@ class ConvBnSiLU(nn.Module):
         )
         if is_depthwise:
             x = _DepthwiseConv(
-                self.features, self.kernel_size, dtype=self.dtype, name="conv"
+                self.features,
+                self.kernel_size,
+                use_bias=deploy,
+                dtype=self.dtype,
+                name="conv",
             )(x)
         else:
             x = nn.Conv(
@@ -125,18 +164,19 @@ class ConvBnSiLU(nn.Module):
                 strides=(self.stride, self.stride),
                 padding=[(pad, pad), (pad, pad)],
                 feature_group_count=self.groups,
-                use_bias=False,
+                use_bias=deploy,
                 dtype=self.dtype,
                 name="conv",
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-            axis_name=None,
-            name="bn",
-        )(x)
+        if not deploy:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                axis_name=None,
+                name="bn",
+            )(x)
         if self.act:
             x = nn.silu(x)
         return x
