@@ -204,6 +204,75 @@ def main(batch=128):
         out = fused_postprocess(raw, nc)
         return out["scores"].sum() + out["boxes"].sum()
 
+    def s_fused_prefix(raw):
+        """fused + adaptive prefix NMS: valid candidates are a prefix of the
+        score-sorted top-k (conf gate is monotonic), so when every image has
+        <= KS survivors the NMS runs on a [KS, KS] matrix via lax.cond."""
+        from yolo_ms_tpu.nn.blocks import dfl_expectation
+        from yolo_ms_tpu.ops.nms import CLASS_OFFSET, nms_fixed
+
+        ks = 256
+        b = raw[0].shape[0]
+        max_l, cls_l, ltrb_l = [], [], []
+        for m in raw:
+            hw = m.shape[1] * m.shape[2]
+            fm = m.reshape(b, hw, no)
+            cls_m = fm[..., 4 * reg_max :]
+            max_l.append(jnp.max(cls_m, axis=-1))
+            cls_l.append(jnp.argmax(cls_m, axis=-1).astype(jnp.int32))
+            ltrb_l.append(
+                dfl_expectation(fm[..., : 4 * reg_max].reshape(b, hw, 4, reg_max))
+            )
+        max_logit = jnp.concatenate(max_l, axis=1)
+        cls_id = jnp.concatenate(cls_l, axis=1)
+        ltrb_all = jnp.concatenate(ltrb_l, axis=1)
+        tl, ti = jax.lax.top_k(max_logit.astype(jnp.float32), topk)
+        ltrb = jnp.take_along_axis(ltrb_all, ti[..., None], axis=1)
+        cls_k = jnp.take_along_axis(cls_id, ti, axis=1)
+        boxes = jnp.concatenate([ltrb * 8.0, ltrb * 8.0 + 64.0], -1)  # fake decode
+        scores = jax.nn.sigmoid(tl)
+        scores = jnp.where(scores > 0.25, scores, -1.0)
+        shifted = boxes + cls_k[..., None].astype(boxes.dtype) * CLASS_OFFSET
+        n_valid = (scores > 0.0).sum(-1).max()
+
+        def small(args):
+            sh, sc = args
+            keep = jax.vmap(nms_fixed, in_axes=(0, 0, None))(
+                sh[:, :ks], sc[:, :ks], 0.45
+            )
+            return jnp.pad(keep, ((0, 0), (0, topk - ks)))
+
+        def full(args):
+            sh, sc = args
+            return jax.vmap(nms_fixed, in_axes=(0, 0, None))(sh, sc, 0.45)
+
+        keep = jax.lax.cond(n_valid <= ks, small, full, (shifted, scores))
+        kept = jnp.where(keep, scores, -1.0)
+        out_s, out_i = jax.lax.top_k(kept, 300)
+        return out_s.sum() + out_i.sum().astype(jnp.float32)
+
+    def s_dfl_widegather(raw):
+        """one-hot MXU gather of raw [B,K,64] box logits, DFL on K only."""
+        b = raw[0].shape[0]
+        max_l, box_l = [], []
+        for m in raw:
+            hw = m.shape[1] * m.shape[2]
+            fm = m.reshape(b, hw, no)
+            max_l.append(jnp.max(fm[..., 4 * reg_max :], axis=-1))
+            box_l.append(fm[..., : 4 * reg_max])
+        max_logit = jnp.concatenate(max_l, axis=1)
+        box_logits = jnp.concatenate(box_l, axis=1)  # [B, A, 64] bf16
+        a = max_logit.shape[1]
+        tl, ti = jax.lax.top_k(max_logit.astype(jnp.float32), topk)
+        sel = jax.nn.one_hot(ti, a, dtype=box_logits.dtype)  # [B, K, A]
+        top_box = jnp.einsum(
+            "bka,bad->bkd", sel, box_logits, preferred_element_type=jnp.float32
+        )  # exact: one-hot x bf16 values
+        from yolo_ms_tpu.nn.blocks import dfl_expectation
+
+        ltrb = dfl_expectation(top_box.reshape(b, topk, 4, reg_max))
+        return ltrb.sum() + tl.sum()
+
     def s_old(raw):
         preds = decode_predictions(raw, nc)
         out = batched_nms(preds.astype(jnp.float32))
@@ -212,8 +281,9 @@ def main(batch=128):
     stages = [
         ("flatten+max", s_max_only),
         ("sel_perscale", s_perscale),
-        ("pallas_sel", s_pallas_sel),
+        ("dfl_widegather", s_dfl_widegather),
         ("fused_full", s_fused),
+        ("fused_prefixnms", s_fused_prefix),
     ]
     if "--all" in sys.argv:
         stages += [

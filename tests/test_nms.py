@@ -210,6 +210,52 @@ class TestFusedPostprocess:
             got["boxes"][v], want["boxes"][v], rtol=1e-4, atol=1e-3
         )
 
+    def test_adaptive_prefix_nms_both_branches(self):
+        """fused_postprocess runs NMS on a 256-prefix when every image's
+        conf survivors fit (lax.cond); both branches must match the
+        unfused pipeline exactly."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.models.decode import decode_predictions
+        from yolo_ms_tpu.ops.nms import batched_nms
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        nc, reg_max = 7, 16
+        rng = np.random.default_rng(5)
+        shapes = [(16, 16), (8, 8), (4, 4)]
+        raw = [
+            jnp.asarray(
+                rng.standard_normal((2, h, w, 4 * reg_max + nc)) * 1.5,
+                jnp.float32,
+            )
+            for h, w in shapes
+        ]
+        # conf 0.25: randn*1.5 logits put ~half the max-scores above the
+        # gate -> n_valid >> 256 -> dense branch. conf 0.95: few survive
+        # -> prefix branch. Both must equal the unfused pipeline.
+        for conf in (0.25, 0.95):
+            want = jax.device_get(
+                batched_nms(
+                    decode_predictions(raw, nc),
+                    conf_thresh=conf,
+                    pre_nms_topk=512,
+                    max_det=50,
+                )
+            )
+            got = jax.device_get(
+                fused_postprocess(
+                    raw, nc, conf_thresh=conf, pre_nms_topk=512, max_det=50
+                )
+            )
+            np.testing.assert_array_equal(got["valid"], want["valid"])
+            v = want["valid"]
+            np.testing.assert_array_equal(got["classes"][v], want["classes"][v])
+            np.testing.assert_allclose(
+                got["boxes"][v], want["boxes"][v], rtol=1e-4, atol=1e-3
+            )
+
     def test_bf16_maps(self):
         """The serving path feeds bf16 maps; boxes must come out f32 and
         finite, within 1px of the f32 result."""

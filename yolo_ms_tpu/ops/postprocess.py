@@ -70,11 +70,11 @@ def fused_postprocess(
     b = raw_maps[0].shape[0]
     shapes = [(m.shape[1], m.shape[2]) for m in raw_maps]
 
-    # (1)+(2) per-scale reduction BEFORE any concat: max/argmax over class
-    # logits (sigmoid deferred to the K winners — monotonic) and the f32 DFL
-    # expectation (lane-friendly matmul inside dfl_expectation). Only the
-    # tiny per-anchor results [B, HW, 6-ish] are ever concatenated; the
-    # [B, A, no] raw concat (180 MB at bs=128) never exists.
+    # (1) per-scale class reduction BEFORE any concat: max/argmax over
+    # class logits (sigmoid deferred to the K winners — monotonic). Only
+    # per-anchor results and the box-logit slices are concatenated; the
+    # [B, A, no] raw concat never exists and the [B, A, nc] class block is
+    # reduced in place.
     #
     # use_pallas opts into the Pallas selection kernel
     # (ops/pallas/select.py). Measured on v5e at bs=128 it LOSES to this
@@ -82,37 +82,67 @@ def fused_postprocess(
     # memory-bound multi-reductions, where XLA's fused elementwise engine
     # is already near the HBM floor and the kernel pays per-grid-step VPU
     # lane padding) — so the default is the XLA path on every backend.
+    # (The kernel decodes ltrb for ALL anchors; its outputs are adapted to
+    # the top-K-only decode below by a narrow gather.)
     if use_pallas is None:
         use_pallas = False
-    max_l, cls_l, ltrb_l = [], [], []
+    # all-or-nothing: mixed pallas/XLA scales would split the box data
+    # between the two decode paths below
+    use_pallas = use_pallas and all(
+        select_supported(m.shape[1] * m.shape[2], num_classes)
+        for m in raw_maps
+    )
+    max_l, cls_l, box_l, ltrb_l = [], [], [], []
     for m in raw_maps:
         hw = m.shape[1] * m.shape[2]
         flat_m = m.reshape(b, hw, no)
-        if use_pallas and select_supported(hw, num_classes):
+        if use_pallas:
             mx, cid, ltrb_s = select_scale(flat_m, num_classes, reg_max)
             mx = mx.astype(flat_m.dtype)  # top-k key dtype parity with XLA path
+            ltrb_l.append(ltrb_s)
         else:
             cls_m = flat_m[..., 4 * reg_max :]
             mx = jnp.max(cls_m, axis=-1)
             cid = jnp.argmax(cls_m, axis=-1).astype(jnp.int32)
-            ltrb_s = dfl_expectation(
-                flat_m[..., : 4 * reg_max].reshape(b, hw, 4, reg_max)
-            )
+            box_l.append(flat_m[..., : 4 * reg_max])
         max_l.append(mx)
         cls_l.append(cid)
-        ltrb_l.append(ltrb_s)
     max_logit = jnp.concatenate(max_l, axis=1)  # [B, A]
     cls_id = jnp.concatenate(cls_l, axis=1)  # [B, A]
-    ltrb_all = jnp.concatenate(ltrb_l, axis=1)  # [B, A, 4] f32
     a = max_logit.shape[1]
 
-    # (3) pre-NMS top-K on the max logit (same order as sigmoid scores)
+    # (2) pre-NMS top-K on the max logit (same order as sigmoid scores)
     k = min(pre_nms_topk, a)
     top_logit, top_idx = jax.lax.top_k(max_logit.astype(jnp.float32), k)
-
-    # (4) narrow gathers for the K survivors (4-float rows / scalars)
-    ltrb = jnp.take_along_axis(ltrb_all, top_idx[..., None], axis=1)  # [B,K,4]
     top_classes = jnp.take_along_axis(cls_id, top_idx, axis=1)  # [B, K]
+
+    # (3) DFL expectation for the K survivors only. The raw box logits are
+    # gathered with a one-hot MXU contraction (exact: one-hot times bf16
+    # values, f32 accumulate) — measured ~1 ms faster at bs=128 than
+    # decoding all A anchors and narrow-gathering the results, and far
+    # faster than take_along_axis row gathers of [B, K, 4*reg_max].
+    if box_l:
+        box_logits = jnp.concatenate(box_l, axis=1)  # [B, A, 4*reg_max]
+        sel = jax.nn.one_hot(top_idx, a, dtype=box_logits.dtype)  # [B, K, A]
+        # bf16 operands are exact here (one-hot x bf16 values, f32
+        # accumulate); for f32 maps HIGHEST stops the TPU default from
+        # rounding the gathered logits to bf16.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if box_logits.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        top_box = jnp.einsum(
+            "bka,bad->bkd",
+            sel,
+            box_logits,
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        ltrb = dfl_expectation(top_box.reshape(b, k, 4, reg_max))  # [B, K, 4]
+    else:
+        ltrb_all = jnp.concatenate(ltrb_l, axis=1)  # [B, A, 4] f32 (pallas)
+        ltrb = jnp.take_along_axis(ltrb_all, top_idx[..., None], axis=1)
 
     # (5) anchors/strides computed arithmetically from the flat index —
     # level boundaries are static, so no table gather is needed.
@@ -139,16 +169,40 @@ def fused_postprocess(
     top_scores = jax.nn.sigmoid(top_logit)
     top_scores = jnp.where(top_scores > conf_thresh, top_scores, -1.0)
 
-    # (6) class-aware NMS via the class-offset trick + greedy fixed point
+    # (6) class-aware NMS via the class-offset trick + greedy fixed point.
+    # Adaptive prefix (EXACT, not approximate): candidates failing the conf
+    # gate carry score -1, and the gate is monotonic in the top-k sort
+    # order, so the surviving candidates are always a PREFIX of the sorted
+    # K. When every image's survivor count fits in a 256 prefix (the
+    # typical serving case at conf 0.25), the suppression runs on a
+    # [256, 256] matrix instead of [K, K]; the dense fallback is a
+    # lax.cond branch, so semantics are identical either way.
     if class_aware and num_classes > 1:
         shifted = top_boxes + (
             top_classes[..., None].astype(top_boxes.dtype) * CLASS_OFFSET
         )
     else:
         shifted = top_boxes
-    keep = jax.vmap(nms_fixed, in_axes=(0, 0, None))(
-        shifted, top_scores, iou_thresh
-    )
+    ks = min(256, k)
+
+    def _nms_prefix(args):
+        sh, sc = args
+        kp = jax.vmap(nms_fixed, in_axes=(0, 0, None))(
+            sh[:, :ks], sc[:, :ks], iou_thresh
+        )
+        return jnp.pad(kp, ((0, 0), (0, k - ks)))
+
+    def _nms_full(args):
+        sh, sc = args
+        return jax.vmap(nms_fixed, in_axes=(0, 0, None))(sh, sc, iou_thresh)
+
+    if ks < k:
+        n_valid = (top_scores > 0.0).sum(axis=-1).max()
+        keep = jax.lax.cond(
+            n_valid <= ks, _nms_prefix, _nms_full, (shifted, top_scores)
+        )
+    else:
+        keep = _nms_full((shifted, top_scores))
     kept_scores = jnp.where(keep, top_scores, -1.0)
 
     # (7) final top max_det
