@@ -204,8 +204,8 @@ class Predictor:
         ih, iw = self.input_size
         results = {}
         bs = self.batch_size
-        for start in range(0, len(paths), bs):
-            chunk = paths[start : start + bs]
+
+        def prepare(chunk):
             batch = np.zeros((bs, ih, iw, 3), np.uint8)
             metas = []
             for k, p in enumerate(chunk):
@@ -219,7 +219,9 @@ class Predictor:
                     meta = (ow / iw, oh / ih, 0, 0, ow, oh)
                 batch[k] = inp
                 metas.append((p, orig, meta))
-            out = self.predict_batch(batch)
+            return batch, metas
+
+        def consume(out, metas):
             for k, (p, orig, meta) in enumerate(metas):
                 dets = self._to_detections(out, k, meta)
                 results[p] = dets
@@ -240,6 +242,19 @@ class Predictor:
                             os.path.join(output_dir, f"{base}_detections.json"), "w"
                         ) as f:
                             json.dump(dets, f, indent=4)
+
+        # Software pipelining: jax dispatch is async, so batch i computes on
+        # the device while the host decodes batch i+1 and draws/writes
+        # batch i-1's outputs; only the final device_get blocks.
+        pending = None  # (device output, metas)
+        for start in range(0, len(paths), bs):
+            batch, metas = prepare(paths[start : start + bs])
+            out_dev = self._infer(self.variables, jnp.asarray(batch))
+            if pending is not None:
+                consume(jax.device_get(pending[0]), pending[1])
+            pending = (out_dev, metas)
+        if pending is not None:
+            consume(jax.device_get(pending[0]), pending[1])
         return results
 
 
