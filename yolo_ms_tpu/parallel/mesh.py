@@ -51,3 +51,23 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
         else x,
         batch,
     )
+
+
+def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the image HEIGHT dimension of an NHWC batch over the mesh.
+
+    Spatial partitioning — the detector's analog of sequence parallelism
+    (SURVEY.md §2.4): for inputs too large for one chip (high-resolution
+    imagery, or latency-critical single images), the [B, H, W, C] tensor is
+    split along H and every conv/pool runs on its slice. GSPMD inserts the
+    halo exchanges at slice boundaries automatically (kernel_size//2 rows
+    per side ride the ICI each conv), so the numerics are IDENTICAL to the
+    unsharded forward — verified in tests/test_spatial_sharding.py on the
+    virtual mesh. The fused post-process tail reduces over all anchors, so
+    its collectives are likewise inserted by the compiler.
+
+    Use batch_sharding when B >= mesh size (more arithmetic intensity per
+    chip, no halos); spatial sharding when B < mesh size — e.g. ONE 4096px
+    image over 8 chips.
+    """
+    return NamedSharding(mesh, P(None, axis_name))
