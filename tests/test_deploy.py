@@ -68,6 +68,43 @@ def test_deploy_structure_has_no_bn():
     assert want_tree == got_tree
 
 
+def test_export_roundtrip(tmp_path):
+    """tools.export writes a folded checkpoint that the Predictor detects
+    and uses as-is, reproducing the in-process folded outputs."""
+    from yolo_ms_tpu.infer.predictor import Predictor
+    from yolo_ms_tpu.models.deploy import is_deploy_variables
+    from yolo_ms_tpu.tools.export import run as export_run
+    from yolo_ms_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    model = build_model("n", num_classes=8)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    train_ckpt = str(tmp_path / "train.ckpt")
+    save_checkpoint(train_ckpt, variables)
+
+    out_ckpt = str(tmp_path / "deploy.ckpt")
+    info = export_run(train_ckpt, out_ckpt)
+    assert info["params"] > 0
+
+    restored = restore_checkpoint(out_ckpt)
+    assert is_deploy_variables(restored)
+
+    p_exported = Predictor(
+        "n", restored, num_classes=8, input_size=(64, 64), conf_thresh=1e-6
+    )
+    assert p_exported.deploy
+    p_inproc = Predictor(
+        "n", variables, num_classes=8, input_size=(64, 64), conf_thresh=1e-6
+    )
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    a = p_exported.predict_batch(imgs)
+    b = p_inproc.predict_batch(imgs)
+    np.testing.assert_array_equal(a["valid"], b["valid"])
+    np.testing.assert_allclose(
+        a["boxes"][a["valid"]], b["boxes"][b["valid"]], rtol=1e-5, atol=1e-4
+    )
+
+
 def test_predictor_uses_folding():
     from yolo_ms_tpu.infer.predictor import Predictor
 

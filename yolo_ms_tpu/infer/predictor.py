@@ -31,7 +31,11 @@ import numpy as np
 
 from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from yolo_ms_tpu.data.decode import decode_and_resize, decode_image
-from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
+from yolo_ms_tpu.models.deploy import (
+    deploy_mode,
+    fold_batchnorm,
+    is_deploy_variables,
+)
 from yolo_ms_tpu.models.registry import build_model
 from yolo_ms_tpu.ops.postprocess import fused_postprocess
 
@@ -62,9 +66,17 @@ class Predictor:
         # Deploy-time BN folding (models/deploy.py): fold BN affine into the
         # conv weights so the serving graph is conv(+bias)+SiLU only —
         # removes the layout-copy sandwich around every narrow-channel conv
-        # (measured 43% of bs=32 forward; PERF.md).
-        self.deploy = deploy and "batch_stats" in variables
-        self.variables = fold_batchnorm(variables) if self.deploy else variables
+        # (measured 43% of bs=32 forward; PERF.md). Pre-folded checkpoints
+        # (tools/export.py) are detected and used as-is.
+        if is_deploy_variables(variables):
+            self.deploy = True
+            self.variables = variables
+        elif deploy and "batch_stats" in variables:
+            self.deploy = True
+            self.variables = fold_batchnorm(variables)
+        else:
+            self.deploy = False
+            self.variables = variables
         self.num_classes = num_classes
         self.class_names = class_names or [f"class_{i}" for i in range(num_classes)]
         self.input_size = tuple(input_size)

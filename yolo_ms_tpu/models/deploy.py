@@ -82,3 +82,20 @@ def fold_batchnorm(variables: dict) -> dict:
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     return {"params": _fold(params, stats)}
+
+
+def _tree_has_key(tree, key: str) -> bool:
+    if not isinstance(tree, dict):
+        return False
+    return any(
+        k == key or _tree_has_key(v, key) for k, v in tree.items()
+    )
+
+
+def is_deploy_variables(variables: dict) -> bool:
+    """True when the variables are already BN-folded (deploy structure):
+    no batch_stats collection and no 'bn' subtree anywhere in params
+    (every train-structure ConvBnSiLU owns one)."""
+    return "batch_stats" not in variables and not _tree_has_key(
+        variables.get("params", {}), "bn"
+    )

@@ -45,10 +45,14 @@ def run(
                 "params": restored["state"]["params"],
                 "batch_stats": restored["state"]["batch_stats"],
             }
-        variables = {
-            "params": restored["params"],
-            "batch_stats": restored["batch_stats"],
-        }
+        if "batch_stats" in restored:
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+        else:
+            # deploy export (tools/export.py): BN already folded
+            variables = {"params": restored["params"]}
 
     predictor = Predictor(
         arch,
