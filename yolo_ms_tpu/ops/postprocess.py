@@ -116,110 +116,120 @@ def fused_postprocess(
     top_logit, top_idx = jax.lax.top_k(max_logit.astype(jnp.float32), k)
     top_classes = jnp.take_along_axis(cls_id, top_idx, axis=1)  # [B, K]
 
-    # (3) DFL expectation for the K survivors only. The raw box logits are
-    # gathered with a one-hot MXU contraction (exact: one-hot times bf16
-    # values, f32 accumulate) — measured ~1 ms faster at bs=128 than
-    # decoding all A anchors and narrow-gathering the results, and far
-    # faster than take_along_axis row gathers of [B, K, 4*reg_max].
-    if box_l:
-        box_logits = jnp.concatenate(box_l, axis=1)  # [B, A, 4*reg_max]
-        sel = jax.nn.one_hot(top_idx, a, dtype=box_logits.dtype)  # [B, K, A]
-        # bf16 operands are exact here (one-hot x bf16 values, f32
-        # accumulate); for f32 maps HIGHEST stops the TPU default from
-        # rounding the gathered logits to bf16.
-        prec = (
-            jax.lax.Precision.HIGHEST
-            if box_logits.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-        top_box = jnp.einsum(
-            "bka,bad->bkd",
-            sel,
-            box_logits,
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
-        ltrb = dfl_expectation(top_box.reshape(b, k, 4, reg_max))  # [B, K, 4]
-    else:
-        ltrb_all = jnp.concatenate(ltrb_l, axis=1)  # [B, A, 4] f32 (pallas)
-        ltrb = jnp.take_along_axis(ltrb_all, top_idx[..., None], axis=1)
-
-    # (5) anchors/strides computed arithmetically from the flat index —
-    # level boundaries are static, so no table gather is needed.
-    level_sizes = [h * w for h, w in shapes]
-    offs = np.cumsum([0] + level_sizes)
-    lvl = sum(
-        (top_idx >= int(offs[i])).astype(jnp.int32)
-        for i in range(1, len(shapes))
-    )
-    width_t = jnp.asarray([w for _, w in shapes], jnp.int32)[lvl]  # [B, K]
-    base_t = jnp.asarray(offs[:-1], jnp.int32)[lvl]
-    stride_k = jnp.asarray(strides, jnp.float32)[lvl][..., None]  # [B, K, 1]
-    local = top_idx - base_t
-    ax = (local % width_t).astype(jnp.float32) + 0.5
-    ay = (local // width_t).astype(jnp.float32) + 0.5
-    anchors_k = jnp.stack([ax, ay], axis=-1)  # [B, K, 2] grid units
-
-    # f32 anchor decode on K anchors (yolov8_head.py:138-143 semantics)
-    x1y1 = (anchors_k - ltrb[..., :2]) * stride_k
-    x2y2 = (anchors_k + ltrb[..., 2:]) * stride_k
-    top_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)  # [B, K, 4] xyxy px
+    box_logits = (
+        jnp.concatenate(box_l, axis=1) if box_l else None
+    )  # [B, A, 4*reg_max] raw dtype
+    ltrb_all = (
+        jnp.concatenate(ltrb_l, axis=1) if ltrb_l else None
+    )  # [B, A, 4] f32 (pallas path)
 
     # confidence gate (reference uses strict >, tools/test.py:182)
     top_scores = jax.nn.sigmoid(top_logit)
     top_scores = jnp.where(top_scores > conf_thresh, top_scores, -1.0)
 
-    # (6) class-aware NMS via the class-offset trick + greedy fixed point.
-    # Adaptive prefix (EXACT, not approximate): candidates failing the conf
-    # gate carry score -1, and the gate is monotonic in the top-k sort
-    # order, so the surviving candidates are always a PREFIX of the sorted
-    # K. When every image's survivor count fits in a 256 prefix (the
-    # typical serving case at conf 0.25), the suppression runs on a
-    # [256, 256] matrix instead of [K, K]; the dense fallback is a
-    # lax.cond branch, so semantics are identical either way.
-    if class_aware and num_classes > 1:
-        shifted = top_boxes + (
-            top_classes[..., None].astype(top_boxes.dtype) * CLASS_OFFSET
-        )
-    else:
-        shifted = top_boxes
+    level_sizes = [h * w for h, w in shapes]
+    offs = np.cumsum([0] + level_sizes)
+
+    def _tail(kk: int):
+        """Decode + NMS + final selection on the first kk candidates.
+
+        Everything downstream of the conf gate only ever touches the
+        gate's survivors, which are a PREFIX of the score-sorted K (the
+        gate is monotonic in the sort key) — so the whole tail can run at
+        prefix width: DFL one-hot gather [B, kk, A], suppression matrix
+        [kk, kk], final top-k over kk. Outputs are padded to max_det so
+        both cond branches agree.
+        """
+
+        def fn(operands):
+            idx, scores, classes = (o[:, :kk] for o in operands)
+
+            # DFL expectation for the kk survivors only: raw box logits
+            # gathered with a one-hot MXU contraction (exact: one-hot x
+            # bf16 values, f32 accumulate) — measured ~1 ms faster at
+            # bs=128 than decoding all A anchors and narrow-gathering, and
+            # far faster than take_along_axis row gathers.
+            if box_logits is not None:
+                sel = jax.nn.one_hot(idx, a, dtype=box_logits.dtype)
+                # for f32 maps HIGHEST stops the TPU default from rounding
+                # the gathered logits to bf16 (bf16 maps are exact as-is)
+                prec = (
+                    jax.lax.Precision.HIGHEST
+                    if box_logits.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                )
+                top_box = jnp.einsum(
+                    "bka,bad->bkd",
+                    sel,
+                    box_logits,
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                )
+                ltrb = dfl_expectation(top_box.reshape(b, kk, 4, reg_max))
+            else:
+                ltrb = jnp.take_along_axis(ltrb_all, idx[..., None], axis=1)
+
+            # anchors/strides computed arithmetically from the flat index —
+            # level boundaries are static, so no table gather is needed
+            lvl = sum(
+                (idx >= int(offs[i])).astype(jnp.int32)
+                for i in range(1, len(shapes))
+            )
+            width_t = jnp.asarray([w for _, w in shapes], jnp.int32)[lvl]
+            base_t = jnp.asarray(offs[:-1], jnp.int32)[lvl]
+            stride_k = jnp.asarray(strides, jnp.float32)[lvl][..., None]
+            local = idx - base_t
+            ax = (local % width_t).astype(jnp.float32) + 0.5
+            ay = (local // width_t).astype(jnp.float32) + 0.5
+            anchors_k = jnp.stack([ax, ay], axis=-1)  # [B, kk, 2] grid
+
+            # f32 anchor decode (yolov8_head.py:138-143 semantics)
+            x1y1 = (anchors_k - ltrb[..., :2]) * stride_k
+            x2y2 = (anchors_k + ltrb[..., 2:]) * stride_k
+            boxes = jnp.concatenate([x1y1, x2y2], axis=-1)  # xyxy px
+
+            # class-aware NMS via the class-offset trick + greedy fixed point
+            if class_aware and num_classes > 1:
+                shifted = boxes + (
+                    classes[..., None].astype(boxes.dtype) * CLASS_OFFSET
+                )
+            else:
+                shifted = boxes
+            keep = jax.vmap(nms_fixed, in_axes=(0, 0, None))(
+                shifted, scores, iou_thresh
+            )
+            kept = jnp.where(keep, scores, -1.0)
+
+            # final top max_det
+            kd = min(max_det, kk)
+            out_scores, out_idx = jax.lax.top_k(kept, kd)
+            out_boxes = jnp.take_along_axis(boxes, out_idx[..., None], axis=1)
+            out_classes = jnp.take_along_axis(classes, out_idx, axis=1)
+            valid = out_scores > 0.0
+            if kd < max_det:
+                pad = max_det - kd
+                out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+                out_scores = jnp.pad(
+                    out_scores, ((0, 0), (0, pad)), constant_values=-1.0
+                )
+                out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
+                valid = jnp.pad(valid, ((0, 0), (0, pad)))
+            return {
+                "boxes": out_boxes,
+                "scores": out_scores,
+                "classes": out_classes.astype(jnp.int32),
+                "valid": valid,
+            }
+
+        return fn
+
+    # Adaptive prefix dispatch (EXACT, not approximate): when every image's
+    # conf survivors fit in a 256 prefix — the typical serving case at
+    # conf 0.25 — the entire decode/NMS/selection tail runs at width 256;
+    # the dense fallback at width K is the other lax.cond branch.
+    operands = (top_idx, top_scores, top_classes)
     ks = min(256, k)
-
-    def _nms_prefix(args):
-        sh, sc = args
-        kp = jax.vmap(nms_fixed, in_axes=(0, 0, None))(
-            sh[:, :ks], sc[:, :ks], iou_thresh
-        )
-        return jnp.pad(kp, ((0, 0), (0, k - ks)))
-
-    def _nms_full(args):
-        sh, sc = args
-        return jax.vmap(nms_fixed, in_axes=(0, 0, None))(sh, sc, iou_thresh)
-
     if ks < k:
         n_valid = (top_scores > 0.0).sum(axis=-1).max()
-        keep = jax.lax.cond(
-            n_valid <= ks, _nms_prefix, _nms_full, (shifted, top_scores)
-        )
-    else:
-        keep = _nms_full((shifted, top_scores))
-    kept_scores = jnp.where(keep, top_scores, -1.0)
-
-    # (7) final top max_det
-    kd = min(max_det, k)
-    out_scores, out_idx = jax.lax.top_k(kept_scores, kd)  # [B, kd]
-    out_boxes = jnp.take_along_axis(top_boxes, out_idx[..., None], axis=1)
-    out_classes = jnp.take_along_axis(top_classes, out_idx, axis=1)
-    valid = out_scores > 0.0
-    if kd < max_det:
-        pad = max_det - kd
-        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
-        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
-        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
-        valid = jnp.pad(valid, ((0, 0), (0, pad)))
-    return {
-        "boxes": out_boxes,
-        "scores": out_scores,
-        "classes": out_classes.astype(jnp.int32),
-        "valid": valid,
-    }
+        return jax.lax.cond(n_valid <= ks, _tail(ks), _tail(k), operands)
+    return _tail(k)(operands)
