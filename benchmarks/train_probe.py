@@ -38,11 +38,19 @@ def main(arch="n", bs=32, max_gt=128, n_gt=32, n_iter=8):
         step=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(0),
     )
+    import os
+
     rng = np.random.default_rng(0)
     centers = rng.uniform(0.1, 0.9, (bs, max_gt, 2)).astype(np.float32)
     sizes = rng.uniform(0.02, 0.4, (bs, max_gt, 2)).astype(np.float32)
+    uint8_images = os.environ.get("TRAIN_PROBE_UINT8") == "1"
+    images = (
+        jnp.asarray(rng.integers(0, 256, (bs, 640, 640, 3)), jnp.uint8)
+        if uint8_images
+        else jnp.asarray(rng.standard_normal((bs, 640, 640, 3)), jnp.float32)
+    )
     batch = {
-        "images": jnp.asarray(rng.standard_normal((bs, 640, 640, 3)), jnp.float32),
+        "images": images,
         "boxes": jnp.asarray(np.concatenate([centers, sizes], -1)),
         "labels": jnp.asarray(rng.integers(0, 80, (bs, max_gt)), jnp.int32),
         "mask": jnp.asarray(np.arange(max_gt)[None] < n_gt).repeat(bs, 0),

@@ -51,7 +51,13 @@ class DetectionLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         drop_last: bool | None = None,
+        device_normalize: bool = False,
     ):
+        # device_normalize=True emits raw uint8 pixels (the whole augment
+        # pipeline is uint8 end-to-end); the consumer normalizes on device.
+        # Host->device transfer drops 4x (uint8 vs f32) and the train step
+        # loses a 629 MB/batch f32->bf16 convert at bs=128.
+        self.device_normalize = device_normalize
         self.ds = dataset
         self.batch_size = batch_size
         self.img_h, self.img_w = img_size
@@ -102,6 +108,8 @@ class DetectionLoader:
             img2, boxes2 = resize_linear(img2, boxes2, self.img_h, self.img_w)
             img, boxes, labels = mixup(img, boxes, labels, img2, boxes2, labels2, rng)
         img, boxes, labels = self.transform(img, boxes, labels, rng)
+        if self.device_normalize:
+            return img, boxes, labels  # uint8; consumer normalizes on device
         return normalize_imagenet(img), boxes, labels
 
     def _pad_targets(self, boxes_xyxy: np.ndarray, labels: np.ndarray):

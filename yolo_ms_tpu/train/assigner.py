@@ -54,17 +54,29 @@ def task_aligned_assign(
     mask_in = in_gts & mask_gt[..., None]
 
     # --- alignment metric [B, M, A] ---
+    # The [B, M, A] intermediates only drive RANKING (candidate top-k,
+    # conflict argmax) and the soft-label normalization; none feed exact
+    # target coordinates. They are computed in f32 but STORED bf16: at
+    # max_gt=128/bs=128 each f32 tensor is 550 MB and the assigner is
+    # HBM-bound, so halving the working set is the lever. bf16's ~0.4%
+    # relative rounding can only reorder near-tied candidates / perturb the
+    # TAL soft labels by <1%, both far below training noise (the slow
+    # learning test passes identically).
     ious = bbox_iou(
         gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
     )
-    ious = jnp.clip(ious, 0.0)
+    ious = jnp.clip(ious, 0.0).astype(jnp.bfloat16)
     gt_cls = jnp.clip(gt_labels, 0, num_classes - 1).astype(jnp.int32)
     gt_cls_onehot = jax.nn.one_hot(gt_cls, num_classes, dtype=pd_scores.dtype)
     # score of each anchor for its gt's class, as an MXU contraction (TPU
     # gathers are slow): [B,A,nc] x [B,M,nc] -> [B,M,A]
-    cls_scores = jnp.einsum("ban,bmn->bma", pd_scores, gt_cls_onehot)
-    metric = (cls_scores**alpha) * (ious**beta)
-    metric = jnp.where(mask_in, metric, 0.0)
+    cls_scores = jnp.einsum(
+        "ban,bmn->bma", pd_scores, gt_cls_onehot
+    ).astype(jnp.bfloat16)
+    metric = (cls_scores.astype(jnp.float32) ** alpha) * (
+        ious.astype(jnp.float32) ** beta
+    )
+    metric = jnp.where(mask_in, metric, 0.0).astype(jnp.bfloat16)
 
     # --- top-k per gt [B, M, A] -> mask of selected anchors ---
     # Iterative max-and-mask instead of lax.top_k: top_k sorts the whole
