@@ -69,10 +69,15 @@ def task_aligned_assign(
     gt_cls = jnp.clip(gt_labels, 0, num_classes - 1).astype(jnp.int32)
     gt_cls_onehot = jax.nn.one_hot(gt_cls, num_classes, dtype=pd_scores.dtype)
     # score of each anchor for its gt's class, as an MXU contraction (TPU
-    # gathers are slow): [B,A,nc] x [B,M,nc] -> [B,M,A]
+    # gathers are slow): [B,A,nc] x [B,M,nc] -> [B,M,A]. Emitted directly
+    # in bf16 (accumulation is still f32 on the MXU) so the [B,M,A] f32
+    # intermediate never reaches HBM.
     cls_scores = jnp.einsum(
-        "ban,bmn->bma", pd_scores, gt_cls_onehot
-    ).astype(jnp.bfloat16)
+        "ban,bmn->bma",
+        pd_scores,
+        gt_cls_onehot,
+        preferred_element_type=jnp.bfloat16,
+    )
     metric = (cls_scores.astype(jnp.float32) ** alpha) * (
         ious.astype(jnp.float32) ** beta
     )
