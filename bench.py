@@ -57,6 +57,11 @@ def _fix_stale_platform_pin() -> None:
 
 
 def main() -> None:
+    # multi-host init must precede ANY backend-initializing jax call
+    # (jax.devices in the pin fix included); no-op on single host
+    from yolo_ms_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     _fix_stale_platform_pin()
     import jax
     import jax.numpy as jnp
@@ -66,10 +71,8 @@ def main() -> None:
     from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
     from yolo_ms_tpu.models.registry import build_model, init_model
     from yolo_ms_tpu.ops.postprocess import fused_postprocess
-    from yolo_ms_tpu.parallel.distributed import maybe_initialize_distributed
     from yolo_ms_tpu.utils.profiler import enable_compilation_cache
 
-    maybe_initialize_distributed()  # no-op on single host
     enable_compilation_cache()
 
     model = build_model(ARCH, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)

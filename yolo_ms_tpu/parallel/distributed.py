@@ -23,8 +23,15 @@ def maybe_initialize_distributed(
     import jax
 
     explicit = coordinator_address is not None
+
+    def _sane(value: str | None) -> bool:
+        # some environments export placeholder/warning strings (e.g.
+        # "WARNING: could not determine TPU worker hostnames"); a real
+        # coordinator value is a hostname[:port] with no whitespace
+        return bool(value) and " " not in value
+
     env_driven = any(
-        os.environ.get(k)
+        _sane(os.environ.get(k))
         for k in (
             "COORDINATOR_ADDRESS",
             "JAX_COORDINATOR_ADDRESS",
