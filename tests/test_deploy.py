@@ -105,6 +105,37 @@ def test_export_roundtrip(tmp_path):
     )
 
 
+def test_export_prefers_ema_params(tmp_path):
+    """EMA-trained runs validate the EMA weights; export must fold those,
+    not the raw params."""
+    from yolo_ms_tpu.models.deploy import fold_batchnorm
+    from yolo_ms_tpu.tools.export import run as export_run
+    from yolo_ms_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    model = build_model("n", num_classes=8)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    ema = jax.tree_util.tree_map(lambda p: p + 1.0, variables["params"])
+    state_ckpt = str(tmp_path / "state.ckpt")
+    save_checkpoint(
+        state_ckpt,
+        {
+            "state": {
+                "params": variables["params"],
+                "ema_params": ema,
+                "batch_stats": variables["batch_stats"],
+            }
+        },
+    )
+    out = str(tmp_path / "deploy.ckpt")
+    export_run(state_ckpt, out)
+    got = restore_checkpoint(out)
+    want = fold_batchnorm({"params": ema, "batch_stats": variables["batch_stats"]})
+    flat_got = jax.tree_util.tree_leaves(got["params"])
+    flat_want = jax.tree_util.tree_leaves(want["params"])
+    for g, w in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
 def test_predictor_uses_folding():
     from yolo_ms_tpu.infer.predictor import Predictor
 

@@ -60,6 +60,35 @@ def test_select_scale_ties_and_extremes():
     assert np.isfinite(got_ltrb).all()
 
 
+def test_fused_postprocess_use_pallas_matches_xla():
+    """The use_pallas=True integration path of fused_postprocess (ltrb_all
+    adaptation + dtype-parity cast) must reproduce the XLA path."""
+    from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+    nc, reg_max = 80, 16
+    rng = np.random.default_rng(3)
+    shapes = [(8, 8), (4, 4), (2, 8)]  # hw: 64, 16, 16 (16-aligned)
+    raw = [
+        jnp.asarray(
+            rng.standard_normal((2, h, w, 4 * reg_max + nc)) * 1.5, jnp.float32
+        )
+        for h, w in shapes
+    ]
+    want = jax.device_get(
+        fused_postprocess(raw, nc, pre_nms_topk=64, max_det=20)
+    )
+    got = jax.device_get(
+        fused_postprocess(raw, nc, pre_nms_topk=64, max_det=20, use_pallas=True)
+    )
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    v = want["valid"]
+    np.testing.assert_array_equal(got["classes"][v], want["classes"][v])
+    np.testing.assert_allclose(got["scores"][v], want["scores"][v], rtol=1e-5)
+    np.testing.assert_allclose(
+        got["boxes"][v], want["boxes"][v], rtol=1e-4, atol=1e-3
+    )
+
+
 def test_block_picker_alignment():
     from yolo_ms_tpu.ops.pallas.select import (
         _padded_bytes,

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from yolo_ms_tpu.data.augment import device_normalize_images
 from yolo_ms_tpu.data.decode import decode_and_resize, decode_image
 from yolo_ms_tpu.models.deploy import (
     deploy_mode,
@@ -93,10 +93,7 @@ class Predictor:
         """images_u8: [B, H, W, 3] uint8 -> NMS outputs. Normalization runs
         on-device so only uint8 pixels cross the host->device boundary
         (3/4 of the transfer bytes of float32)."""
-        x = images_u8.astype(self.model.dtype) / 255.0
-        x = (x - jnp.asarray(IMAGENET_MEAN, self.model.dtype)) / jnp.asarray(
-            IMAGENET_STD, self.model.dtype
-        )
+        x = device_normalize_images(images_u8, self.model.dtype)
         if self.deploy:
             with deploy_mode():
                 raw = self.model.apply(variables, x, train=False)

@@ -81,7 +81,15 @@ def _select_kernel(x_ref, out_ref, *, nc, reg_max, bt, t):
     match = side == jnp.where(j < 4, j, j - 4)
     w = jnp.where(j < 4, (i % reg_max).astype(jnp.float32), 1.0)
     rhs = jnp.where(match, w, 0.0)
-    nd = jnp.dot(e, rhs, preferred_element_type=jnp.float32)  # [R, 8]
+    # HIGHEST: same rationale as nn.blocks.dfl_expectation — default TPU
+    # matmul precision rounds the f32 exp values to bf16 (~0.4% relative),
+    # up to ~2 px at stride 32 after the x32 decode.
+    nd = jnp.dot(
+        e,
+        rhs,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [R, 8]
     ltrb = nd[:, :4] / nd[:, 4:]
 
     pad = jnp.zeros((r, 2), jnp.float32)

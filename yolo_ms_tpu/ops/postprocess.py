@@ -63,7 +63,7 @@ def fused_postprocess(
     pre_nms_topk: int = 1024,
     max_det: int = 300,
     class_aware: bool = True,
-    use_pallas: bool | None = None,
+    use_pallas: bool = False,
 ):
     """Raw per-scale NHWC maps [B, H, W, 4*reg_max+nc] -> final detections."""
     no = 4 * reg_max + num_classes
@@ -84,8 +84,6 @@ def fused_postprocess(
     # lane padding) — so the default is the XLA path on every backend.
     # (The kernel decodes ltrb for ALL anchors; its outputs are adapted to
     # the top-K-only decode below by a narrow gather.)
-    if use_pallas is None:
-        use_pallas = False
     # all-or-nothing: mixed pallas/XLA scales would split the box data
     # between the two decode paths below
     use_pallas = use_pallas and all(
@@ -97,7 +95,13 @@ def fused_postprocess(
         hw = m.shape[1] * m.shape[2]
         flat_m = m.reshape(b, hw, no)
         if use_pallas:
-            mx, cid, ltrb_s = select_scale(flat_m, num_classes, reg_max)
+            # compiled Mosaic on TPU; interpret elsewhere (CPU tests)
+            mx, cid, ltrb_s = select_scale(
+                flat_m,
+                num_classes,
+                reg_max,
+                interpret=jax.default_backend() != "tpu",
+            )
             mx = mx.astype(flat_m.dtype)  # top-k key dtype parity with XLA path
             ltrb_l.append(ltrb_s)
         else:

@@ -30,9 +30,14 @@ def run(checkpoint_path: str, output_path: str, bf16: bool = False) -> dict:
     else:
         restored = restore_checkpoint(checkpoint_path)
         if "params" not in restored and "state" in restored:
+            state = restored["state"]
+            # EMA-trained runs validate (and pick best.ckpt by) the EMA
+            # weights — export those, not the raw params, or the serving
+            # artifact silently differs from the validated model.
+            params = state.get("ema_params") or state["params"]
             restored = {
-                "params": restored["state"]["params"],
-                "batch_stats": restored["state"]["batch_stats"],
+                "params": params,
+                "batch_stats": state["batch_stats"],
             }
         variables = restored
 

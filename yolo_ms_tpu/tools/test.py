@@ -39,11 +39,13 @@ def run(
         variables = load_torch_checkpoint(checkpoint_path)
     else:
         restored = restore_checkpoint(checkpoint_path)
-        # full train-state checkpoints nest under state/params
+        # full train-state checkpoints nest under state/params; EMA-trained
+        # runs validate the EMA weights, so serve those when present
         if "params" not in restored and "state" in restored:
+            state = restored["state"]
             restored = {
-                "params": restored["state"]["params"],
-                "batch_stats": restored["state"]["batch_stats"],
+                "params": state.get("ema_params") or state["params"],
+                "batch_stats": state["batch_stats"],
             }
         if "batch_stats" in restored:
             variables = {

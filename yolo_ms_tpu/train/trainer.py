@@ -33,6 +33,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from yolo_ms_tpu.data.augment import device_normalize_images
 from yolo_ms_tpu.data.coco import CocoDetectionDataset
 from yolo_ms_tpu.data.loader import DetectionLoader
 from yolo_ms_tpu.eval.coco_map import MeanAveragePrecision
@@ -56,21 +57,6 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any = None  # exponential moving average (None = disabled)
 
 
-def _device_normalize(images, dtype):
-    """uint8 batches normalize on device (ImageNet stats, augment.py
-    contract): only 1/4 of the bytes cross the host->device boundary and
-    the in-graph f32->compute-dtype convert disappears. Float batches
-    (already host-normalized, or synthetic test inputs) pass through."""
-    if images.dtype != jnp.uint8:
-        return images
-    from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
-
-    x = images.astype(dtype) / 255.0
-    return (x - jnp.asarray(IMAGENET_MEAN, dtype)) / jnp.asarray(
-        IMAGENET_STD, dtype
-    )
-
-
 def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
     """Build the pure train-step function (jit it with shardings outside).
 
@@ -79,7 +65,7 @@ def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
     """
 
     def train_step(state: TrainState, batch):
-        images = _device_normalize(batch["images"], model.dtype)
+        images = device_normalize_images(batch["images"], model.dtype)
 
         def compute_loss(params):
             raw, updates = model.apply(
@@ -286,7 +272,7 @@ class Trainer:
         return variables
 
     def _infer_impl(self, params, batch_stats, images):
-        images = _device_normalize(images, self.model.dtype)
+        images = device_normalize_images(images, self.model.dtype)
         raw = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
