@@ -31,3 +31,27 @@ assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()}"
 )
+
+
+def _ensure_native_loader_built():
+    """Build native/libyolodata.so once per checkout so the C++ loader tests
+    (and the loader's batch fast path) run in a stock `pytest -q` instead of
+    silently skipping. Best-effort: a missing toolchain/libjpeg leaves the
+    .so absent and the 5 native tests skip exactly as before."""
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libyolodata.so")
+    script = os.path.join(root, "native", "build.sh")
+    if os.path.exists(so) or not os.path.exists(script) or not shutil.which("g++"):
+        return
+    try:
+        subprocess.run(
+            ["sh", script], capture_output=True, timeout=120, check=True
+        )
+    except (subprocess.SubprocessError, OSError):
+        pass
+
+
+_ensure_native_loader_built()

@@ -135,6 +135,47 @@ def test_matches_brute_force_oracle():
             )
 
 
+def test_coco_val_scale_under_60s():
+    """COCO-val2017-scale smoke: 5,000 images x 100 dets x 80 classes at all
+    10 IoU thresholds must finish in well under a minute (the matching is a
+    per-detection [T, G] argmax, not a T x D x G Python scan), and must agree
+    with the brute-force oracle on a subsample of the same stream."""
+    import time
+
+    rng = np.random.default_rng(3)
+    n_images, n_dets, n_gt, n_classes = 5000, 100, 20, 80
+    preds, targets = [], []
+    for _ in range(n_images):
+        gt = rng.uniform(0, 600, (n_gt, 2)).astype(np.float32)
+        gt = np.concatenate([gt, gt + rng.uniform(8, 120, (n_gt, 2))], -1)
+        gl = rng.integers(0, n_classes, n_gt)
+        crowd = rng.random(n_gt) < 0.05
+        pb = rng.uniform(0, 600, (n_dets, 2)).astype(np.float32)
+        pb = np.concatenate([pb, pb + rng.uniform(8, 120, (n_dets, 2))], -1)
+        pb[:n_gt] = gt + rng.normal(0, 6, (n_gt, 4))
+        pl = rng.integers(0, n_classes, n_dets)
+        pl[:n_gt] = gl
+        ps = np.round(rng.uniform(0.05, 1.0, n_dets), 3).astype(np.float32)
+        preds.append({"boxes": pb, "scores": ps, "labels": pl})
+        targets.append({"boxes": gt, "labels": gl, "iscrowd": crowd})
+
+    m = MeanAveragePrecision()  # all 10 COCO thresholds
+    t0 = time.time()
+    m.update(preds, targets)
+    result = m.compute()
+    elapsed = time.time() - t0
+    assert np.isfinite(result["map"]) and 0.0 < result["map"] < 1.0
+    assert elapsed < 60.0, f"COCO-scale eval took {elapsed:.1f}s (budget 60s)"
+
+    # protocol equality vs the oracle on a subsample of the same stream
+    sub_p, sub_t = preds[:40], targets[:40]
+    m2 = MeanAveragePrecision(iou_thresholds=[0.5])
+    m2.update(sub_p, sub_t)
+    got = m2.compute()["map_50"]
+    want = brute_force_map(sub_p, sub_t, 0.5)
+    assert abs(got - want) < 1e-6
+
+
 def test_max_dets_truncation_per_image():
     """11 detections on one image, max_dets=10: the lowest-score one must
     not enter matching even though a second image has spare budget."""

@@ -28,6 +28,11 @@ def make_setup(ema_decay=0.0, img=64, batch=2, nc=2):
         ema_params=(
             jax.tree_util.tree_map(lambda p: p, v["params"]) if ema_decay > 0 else None
         ),
+        ema_batch_stats=(
+            jax.tree_util.tree_map(lambda p: p, v["batch_stats"])
+            if ema_decay > 0
+            else None
+        ),
     )
     rng = np.random.default_rng(0)
     batch_data = {
@@ -77,7 +82,34 @@ def test_ema_tracks_params():
     assert np.abs(e1 - p1).max() < np.abs(p0 - p1).max() + 1e-6
 
 
+def test_ema_tracks_batch_stats():
+    """EMA must average the WHOLE model incl. BN running stats (ultralytics
+    semantics): evaluating EMA params against raw batch stats is internally
+    inconsistent, so the train step keeps an ema_batch_stats in lockstep."""
+    step, state, batch = make_setup(ema_decay=0.99)
+    s1, _ = step(state, batch)
+    assert s1.ema_batch_stats is not None
+    b0 = np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    b1 = np.asarray(jax.tree_util.tree_leaves(s1.batch_stats)[0])
+    e1 = np.asarray(jax.tree_util.tree_leaves(s1.ema_batch_stats)[0])
+    assert not np.allclose(e1, b0)  # moved
+    # warmup makes effective decay tiny at step 0 -> ema hugs the new stats
+    assert np.abs(e1 - b1).max() < np.abs(b0 - b1).max() + 1e-6
+
+    # NaN guard freezes the EMA stats too
+    bad = dict(batch)
+    bad["images"] = batch["images"].at[0, 0, 0, 0].set(jnp.nan)
+    s2, m2 = step(s1, bad)
+    assert float(m2["skipped_nonfinite"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.ema_batch_stats),
+        jax.tree_util.tree_leaves(s2.ema_batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ema_disabled_stays_none():
     step, state, batch = make_setup(ema_decay=0.0)
     s1, _ = step(state, batch)
     assert s1.ema_params is None
+    assert s1.ema_batch_stats is None

@@ -125,6 +125,66 @@ class DetectionLoader:
             out_m[:n] = True
         return out_b, out_l, out_m
 
+    def _produce_native_eval(self, batch_ids, order):
+        """Whole-batch fused decode+resize through the C++ loader
+        (native/loader.cpp): one call decodes every JPEG/PNG of the batch on
+        a pthread pool directly into the [B, H, W, 3] uint8 output — no
+        per-image Python round trips. Eval-path only (plain resize, no
+        augmentation, dataset.py:132-136 semantics); returns None when the
+        .so isn't built or the dataset lacks path/size metadata, and the
+        caller falls back to the per-sample path."""
+        from yolo_ms_tpu.data import native_loader
+        from yolo_ms_tpu.data.augment import _filter_boxes
+
+        if not native_loader.available() or not hasattr(self.ds, "samples"):
+            return None
+        samples = [self.ds.samples[int(order[i])] for i in batch_ids]
+        if any(s.width <= 0 or s.height <= 0 for s in samples):
+            return None  # no annotated dims -> cannot scale boxes
+        imgs = native_loader.decode_resize_batch(
+            [s.path for s in samples],
+            self.img_h,
+            self.img_w,
+            num_threads=self.num_workers,
+        )
+        if imgs is None:
+            return None
+        bs, ls, ms = [], [], []
+        for s in samples:
+            boxes = coco_to_xyxy(s.boxes_xywh) * np.asarray(
+                [
+                    self.img_w / s.width,
+                    self.img_h / s.height,
+                ]
+                * 2,
+                np.float32,
+            )
+            boxes, labels = _filter_boxes(boxes, labels=s.labels, w=self.img_w, h=self.img_h)
+            b, l, m = self._pad_targets(boxes, labels)
+            bs.append(b)
+            ls.append(l)
+            ms.append(m)
+        if not self.device_normalize:
+            imgs = np.stack([normalize_imagenet(im) for im in imgs])
+        return imgs, bs, ls, ms
+
+    def _finish_batch(self, imgs, bs, ls, ms) -> dict:
+        """Pad a short (final) batch to full batch size with zero images."""
+        pad = self.batch_size - len(imgs)
+        valid = len(imgs)
+        for _ in range(pad):
+            imgs.append(np.zeros_like(imgs[0]))
+            bs.append(np.zeros_like(bs[0]))
+            ls.append(np.zeros_like(ls[0]))
+            ms.append(np.zeros_like(ms[0]))
+        return {
+            "images": np.stack(imgs),
+            "boxes": np.stack(bs),
+            "labels": np.stack(ls),
+            "mask": np.stack(ms),
+            "num_valid": valid,
+        }
+
     def _epoch_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.ds))
         if self.is_train:
@@ -162,6 +222,11 @@ class DetectionLoader:
             return (img,) + self._pad_targets(boxes, labels)
 
         def produce(batch_ids):
+            if not self.is_train:
+                fast = self._produce_native_eval(batch_ids, order)
+                if fast is not None:
+                    imgs_arr, bs, ls, ms = fast
+                    return self._finish_batch(list(imgs_arr), bs, ls, ms)
             imgs, bs, ls, ms = [], [], [], []
             if self.num_workers > 1:
                 results = list(pool.map(one_sample, batch_ids))
@@ -172,22 +237,7 @@ class DetectionLoader:
                 bs.append(b)
                 ls.append(l)
                 ms.append(m)
-            # pad short (final) batch to full batch size with zero images
-            pad = self.batch_size - len(imgs)
-            valid = len(imgs)
-            for _ in range(pad):
-                imgs.append(np.zeros_like(imgs[0]))
-                bs.append(np.zeros_like(bs[0]))
-                ls.append(np.zeros_like(ls[0]))
-                ms.append(np.zeros_like(ms[0]))
-            return {
-                "images": np.stack(imgs),
-                "boxes": np.stack(bs),
-                "labels": np.stack(ls),
-                "mask": np.stack(ms),
-                "num_valid": valid,
-            }
-
+            return self._finish_batch(imgs, bs, ls, ms)
         def worker():
             try:
                 for batch_ids in batches:

@@ -128,32 +128,33 @@ class MeanAveragePrecision:
         ignored = np.zeros((n_thr, d), bool)
         if g:
             ious = _iou_matrix(dt_boxes, gt_boxes, gt_crowd)
-            n_real = int((~gt_crowd).sum())
-            for ti, thr in enumerate(self.iou_thresholds):
-                gt_matched = np.zeros(g, bool)
-                for di in range(d):
-                    best_iou = min(thr, 1.0 - 1e-10)
-                    m = -1
-                    for gi in range(g):
-                        # a real GT already matched is unavailable; crowds
-                        # can absorb unlimited detections
-                        if gt_matched[gi] and not gt_crowd[gi]:
-                            continue
-                        # once we have a real match, never trade it for a
-                        # crowd (gts are sorted: real first)
-                        if m > -1 and not gt_crowd[m] and gi >= n_real:
-                            break
-                        if ious[di, gi] < best_iou:
-                            continue
-                        best_iou = ious[di, gi]
-                        m = gi
-                    if m == -1:
-                        continue
-                    if gt_crowd[m]:
-                        ignored[ti, di] = True  # neither TP nor FP
-                    else:
-                        gt_matched[m] = True
-                        tp[ti, di] = True
+            # Greedy matching is sequential over detections (each real match
+            # consumes a GT), but everything else vectorizes: each detection
+            # does ONE [T, G] masked argmax over all IoU thresholds at once
+            # instead of the former T x D x G pure-Python scan.
+            #
+            # COCOeval semantics preserved exactly:
+            # - candidate GTs need iou >= min(thr, 1 - 1e-10),
+            # - a real (non-crowd) match is always preferred over any crowd
+            #   (COCOeval breaks at the ignore region once m is real),
+            # - ties on IoU pick the LAST gt index (its running max updates
+            #   on >=), hence the reversed argmax below,
+            # - crowds absorb unlimited detections; crowd-matched detections
+            #   are ignored (neither TP nor FP).
+            thr_eff = np.minimum(self.iou_thresholds, 1.0 - 1e-10)[:, None]
+            gt_matched = np.zeros((n_thr, g), bool)  # real GTs consumed, per thr
+            real = ~gt_crowd
+            rows = np.arange(n_thr)
+            for di in range(d):
+                ok = ious[di][None, :] >= thr_eff  # [T, G]
+                cand_real = ok & real[None, :] & ~gt_matched
+                has_real = cand_real.any(axis=1)  # [T]
+                vals = np.where(cand_real, ious[di][None, :], -1.0)
+                m_real = (g - 1) - np.argmax(vals[:, ::-1], axis=1)
+                has_crowd = (ok & gt_crowd[None, :]).any(axis=1) & ~has_real
+                tp[has_real, di] = True
+                gt_matched[rows[has_real], m_real[has_real]] = True
+                ignored[has_crowd, di] = True
         self._scores[cls].append(dt_scores)
         self._tp[cls].append(tp)
         self._ignored[cls].append(ignored)

@@ -33,24 +33,40 @@ import jax.numpy as jnp
 from yolo_ms_tpu.nn.blocks import BN_EPS, deploy_mode  # noqa: F401 (re-export)
 
 
-def _is_conv_bn(sub: dict, stats: dict) -> bool:
+def _is_conv_bn(sub: dict) -> bool:
     return (
         isinstance(sub, dict)
         and isinstance(sub.get("conv"), dict)
         and "kernel" in sub["conv"]
         and isinstance(sub.get("bn"), dict)
         and "scale" in sub["bn"]
-        and isinstance(stats, dict)
+    )
+
+
+def _has_bn_stats(stats: dict) -> bool:
+    return (
+        isinstance(stats, dict)
         and isinstance(stats.get("bn"), dict)
         and "mean" in stats["bn"]
     )
 
 
-def _fold(params: dict, stats: dict) -> dict:
+def _fold(params: dict, stats: dict, path: str = "") -> dict:
     out = {}
     for key, sub in params.items():
+        sub_path = f"{path}/{key}" if path else key
         sub_stats = stats.get(key, {}) if isinstance(stats, dict) else {}
-        if _is_conv_bn(sub, sub_stats):
+        if _is_conv_bn(sub):
+            if not _has_bn_stats(sub_stats):
+                # Fail fast: silently skipping would export an artifact with
+                # 'bn' params but no batch_stats, which only surfaces later
+                # as a confusing flax structure error at load time.
+                raise ValueError(
+                    f"fold_batchnorm: conv+bn params at '{sub_path}' have no "
+                    "matching batch_stats['bn'] (mean/var) — cannot fold; "
+                    "was the model initialized/trained with mutable "
+                    "batch_stats?"
+                )
             gamma = sub["bn"]["scale"]
             beta = sub["bn"]["bias"]
             mean = sub_stats["bn"]["mean"]
@@ -67,10 +83,10 @@ def _fold(params: dict, stats: dict) -> dict:
                 k: v for k, v in sub.items() if k not in ("conv", "bn")
             }
             if rest:
-                folded.update(_fold(rest, sub_stats))
+                folded.update(_fold(rest, sub_stats, sub_path))
             out[key] = folded
         elif isinstance(sub, dict):
-            out[key] = _fold(sub, sub_stats)
+            out[key] = _fold(sub, sub_stats, sub_path)
         else:
             out[key] = sub
     return out

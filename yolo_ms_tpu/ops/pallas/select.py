@@ -15,12 +15,13 @@ matter — a naive v1 ran at ~13 us/grid-step and LOST to XLA):
 
 - class max/argmax run directly on the bf16 slice (comparisons are exact;
   no f32 cast of the [T, nc] block),
-- the box slice [T, 4*reg_max] f32 is viewed as [T/2, 8*reg_max] so the
-  exp/shift passes run on full 128-wide lanes (two anchors per row); the
-  row-max shift spanning two anchors is valid — softmax is shift-invariant
-  per side — and the per-side softmax + expectation become ONE
-  [8*reg_max, 16] MXU dot emitting [num(4) | den(4)] per anchor after a
-  row-major reshape,
+- the box slice stays [R, 4*reg_max] f32 (R = Bt*T anchors per block): the
+  shared row-max shift is valid — softmax is shift-invariant per side —
+  and the per-side softmax + expectation become ONE [4*reg_max, 8] MXU
+  dot emitting [num(4) | den(4)] per anchor. (A [R/2, 8*reg_max]
+  two-anchors-per-row repack to fill 128-wide lanes was tried and
+  abandoned: Mosaic cannot shape-cast sublanes into lanes — see the
+  inline note in _select_kernel.)
 - one packed [T, 8] f32 output (separate [T, 1] outputs each lane-pad to
   [T, 128] and blew the 16 MB scoped-VMEM limit),
 - small scales batch-block (Bt, HW) per grid step so the P4/P5 maps don't

@@ -56,6 +56,23 @@ def maybe_initialize_distributed(
         return False
 
 
+def is_primary_process() -> bool:
+    """True on the process that should own shared-filesystem writes
+    (checkpoints, best_metric.json, TensorBoard events). On a pod every
+    host runs the same training script against the same output dir; only
+    process 0 may write, or concurrent writers corrupt/interleave the
+    artifacts. Safe to call before jax is initialized (returns True)."""
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return True
+    try:
+        return jax.process_index() == 0
+    except RuntimeError:
+        return True
+
+
 def process_info() -> dict:
     import jax
 

@@ -35,9 +35,10 @@ def run(checkpoint_path: str, output_path: str, bf16: bool = False) -> dict:
             # weights — export those, not the raw params, or the serving
             # artifact silently differs from the validated model.
             params = state.get("ema_params") or state["params"]
+            batch_stats = state.get("ema_batch_stats") or state["batch_stats"]
             restored = {
                 "params": params,
-                "batch_stats": state["batch_stats"],
+                "batch_stats": batch_stats,
             }
         variables = restored
 

@@ -55,6 +55,10 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     rng: jnp.ndarray
     ema_params: Any = None  # exponential moving average (None = disabled)
+    # EMA of the BatchNorm running stats, kept in lockstep with ema_params:
+    # evaluating EMA params against raw batch stats is internally
+    # inconsistent (ultralytics EMAs the WHOLE model incl. BN buffers).
+    ema_batch_stats: Any = None
 
 
 def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
@@ -95,17 +99,24 @@ def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
             )
 
         new_ema = state.ema_params
+        new_ema_bs = state.ema_batch_stats
         if ema_decay > 0.0 and state.ema_params is not None:
             # warmup-aware decay (ramps in over the first ~2k steps)
             d = ema_decay * (
                 1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0)
             )
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-                state.ema_params,
-                new_params,
-            )
-            new_ema = pick(new_ema, state.ema_params)
+
+            def ema_update(avg, new):
+                return jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), avg, new
+                )
+
+            new_ema = pick(ema_update(state.ema_params, new_params), state.ema_params)
+            if state.ema_batch_stats is not None:
+                new_ema_bs = pick(
+                    ema_update(state.ema_batch_stats, new_bs),
+                    state.ema_batch_stats,
+                )
 
         new_state = state.replace(
             params=pick(new_params, state.params),
@@ -113,6 +124,7 @@ def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
             opt_state=pick(new_opt_state, state.opt_state),
             step=state.step + 1,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
         )
         metrics = dict(metrics)
         metrics["skipped_nonfinite"] = 1.0 - good.astype(jnp.float32)
@@ -233,16 +245,26 @@ class Trainer:
                 if tcfg.ema_decay > 0
                 else None
             ),
+            ema_batch_stats=(
+                jax.tree_util.tree_map(lambda p: p, self.batch_stats)
+                if tcfg.ema_decay > 0
+                else None
+            ),
         )
         self.start_epoch = 0
         self.start_step = 0
         self._current_epoch = 0
         self._current_step = 0
 
-        # --- output dirs / logging / checkpoints ---
+        # --- output dirs / logging / checkpoints (process 0 writes only:
+        # on a pod every host sees the same shared output dir) ---
+        from yolo_ms_tpu.parallel.distributed import is_primary_process
+
+        self._primary = is_primary_process()
         self.output_dir = os.path.join(tcfg.log_dir, tcfg.experiment_name)
-        os.makedirs(self.output_dir, exist_ok=True)
-        cfg.save(os.path.join(self.output_dir, "config.yaml"))
+        if self._primary:
+            os.makedirs(self.output_dir, exist_ok=True)
+            cfg.save(os.path.join(self.output_dir, "config.yaml"))
         self.logger = MetricLogger(os.path.join(self.output_dir, "tensorboard_logs"))
         self.ckpt = CheckpointManager(
             os.path.join(self.output_dir, "weights"), save_period=tcfg.save_period
@@ -298,9 +320,14 @@ class Trainer:
             if self.state.ema_params is not None
             else self.state.params
         )
+        eval_bs = (
+            self.state.ema_batch_stats
+            if self.state.ema_batch_stats is not None
+            else self.state.batch_stats
+        )
         for batch in self.val_loader.epoch(0):
             out = jax.device_get(
-                self._infer(eval_params, self.state.batch_stats, batch["images"])
+                self._infer(eval_params, eval_bs, batch["images"])
             )
             nv = batch["num_valid"]
             preds, targets = [], []
@@ -365,6 +392,8 @@ class Trainer:
         import signal
 
         def handler(signum, frame):
+            if not self._primary:
+                raise SystemExit(128 + signum)
             path = os.path.join(self.ckpt.dir, "preempt.ckpt")
             print(f"\nSignal {signum}: saving preemption checkpoint to {path}")
             from yolo_ms_tpu.utils.checkpoint import save_checkpoint
@@ -399,7 +428,10 @@ class Trainer:
             t0 = time.time()
             lr = float(self.lr_schedule(int(self.state.step)))
             self.logger.scalar("Training/Learning_Rate", lr, epoch)
-            epoch_loss, n_steps = 0.0, 0
+            # Per-step losses kept as device scalars (no sync — dispatch
+            # stays pipelined); one device_get at epoch end gives the TRUE
+            # epoch mean the reference logs (train.py:396), not a subsample.
+            step_losses, n_steps = [], 0
 
             first_step = self.start_step if epoch == self.start_epoch else 0
             self._current_step = first_step
@@ -413,10 +445,10 @@ class Trainer:
                 }
                 self.state, metrics = self._train_step(self.state, host_batch)
                 n_steps += 1
+                step_losses.append(metrics["total_loss"])
                 gstep = epoch * steps_per_epoch + batch_idx
                 if (batch_idx + 1) % 10 == 0 or batch_idx == 0:
                     m = jax.device_get(metrics)
-                    epoch_loss += float(m["total_loss"])
                     print(
                         f"  epoch {epoch + 1} batch {batch_idx + 1}/{steps_per_epoch} "
                         f"loss {float(m['total_loss']):.4f} "
@@ -428,7 +460,9 @@ class Trainer:
                     self.logger.scalar("Loss/Batch/Cls", float(m["loss_cls"]), gstep)
                     self.logger.scalar("Loss/Batch/DFL", float(m["loss_dfl"]), gstep)
 
-            avg_loss = epoch_loss / max(1, (n_steps + 9) // 10)
+            avg_loss = (
+                float(np.mean(jax.device_get(step_losses))) if step_losses else 0.0
+            )
             self.logger.scalar("Loss/Epoch/Total", avg_loss, epoch)
             print(
                 f"Epoch {epoch + 1}/{tcfg.epochs}: avg loss {avg_loss:.4f}, "

@@ -56,11 +56,20 @@ class CheckpointManager:
     ``best_metric`` persists to ``best_metric.json`` beside the checkpoints
     and is reloaded on construction, so a resumed run never overwrites
     ``best.ckpt`` with a worse model than the pre-preemption best.
+
+    Multi-host: every process constructs the manager (so ``best_metric``
+    tracking stays consistent for the return value of ``on_epoch_end``), but
+    only process 0 writes — concurrent writers on a pod's shared output dir
+    would corrupt/interleave checkpoints and the json.
     """
 
     def __init__(self, directory: str, save_period: int = 10):
+        from yolo_ms_tpu.parallel.distributed import is_primary_process
+
         self.dir = os.path.abspath(directory)
-        os.makedirs(self.dir, exist_ok=True)
+        self.primary = is_primary_process()
+        if self.primary:
+            os.makedirs(self.dir, exist_ok=True)
         self.save_period = save_period
         self.best_metric = self._load_best_metric()
 
@@ -83,13 +92,17 @@ class CheckpointManager:
             json.dump({"best_metric": self.best_metric}, f)
 
     def on_epoch_end(self, state, epoch: int, metric: float | None = None):
-        save_checkpoint(os.path.join(self.dir, "last.ckpt"), state)
-        if (epoch + 1) % self.save_period == 0:
-            save_checkpoint(os.path.join(self.dir, f"epoch_{epoch + 1}.ckpt"), state)
+        if self.primary:
+            save_checkpoint(os.path.join(self.dir, "last.ckpt"), state)
+            if (epoch + 1) % self.save_period == 0:
+                save_checkpoint(
+                    os.path.join(self.dir, f"epoch_{epoch + 1}.ckpt"), state
+                )
         if metric is not None and metric > self.best_metric:
             self.best_metric = metric
-            self._save_best_metric()
-            save_checkpoint(os.path.join(self.dir, "best.ckpt"), state)
+            if self.primary:
+                self._save_best_metric()
+                save_checkpoint(os.path.join(self.dir, "best.ckpt"), state)
             return True
         return False
 

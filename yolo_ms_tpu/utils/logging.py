@@ -13,10 +13,17 @@ import os
 
 
 class MetricLogger:
+    """Multi-host: only process 0 writes events (a pod's shared log dir
+    would otherwise get interleaved event files from every host)."""
+
     def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
+        from yolo_ms_tpu.parallel.distributed import is_primary_process
+
         self._tb = None
         self._csv = None
+        if not is_primary_process():
+            return
+        os.makedirs(log_dir, exist_ok=True)
         try:
             from torch.utils.tensorboard import SummaryWriter
 
