@@ -45,7 +45,9 @@ def run(
             state = restored["state"]
             restored = {
                 "params": state.get("ema_params") or state["params"],
-                "batch_stats": state["batch_stats"],
+                # EMA runs carry EMA'd BN stats too — serve the consistent pair
+                "batch_stats": state.get("ema_batch_stats")
+                or state["batch_stats"],
             }
         if "batch_stats" in restored:
             variables = {
