@@ -88,7 +88,7 @@ def main() -> None:
         x = images_u8.astype(jnp.bfloat16) / 255.0
         x = (x - mean) / std
         with deploy_mode():
-            raw = model.apply(v, x, train=False)
+            raw = model.apply(v, x, train=False, split_head=True)
         out = fused_postprocess(raw, NUM_CLASSES)
         return out["scores"].sum() + out["boxes"].sum()
 

@@ -37,7 +37,7 @@ def capture(arch: str, batch: int, topk: int, trace_dir: str) -> None:
         def body(carry, i):
             imgs = images + i.astype(images.dtype) * 1e-3
             with deploy_mode():
-                raw = model.apply(v, imgs, train=False)
+                raw = model.apply(v, imgs, train=False, split_head=True)
             out = fused_postprocess(raw, nc, pre_nms_topk=topk)
             return carry + out["scores"].sum() + out["boxes"].sum(), None
 

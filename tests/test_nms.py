@@ -281,3 +281,57 @@ class TestFusedPostprocess:
         assert got["boxes"].dtype == np.float32
         v = got["valid"] & f32["valid"]
         assert np.abs(got["boxes"][v] - f32["boxes"][v]).max() < 1.0
+
+    def test_split_maps_match_concat(self):
+        """The head's split=True serving output ((box, cls) tuples) must
+        produce bit-identical detections to the concatenated maps — the
+        split path only removes the channel-concat copy, not any math."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        nc, reg_max = 80, 16
+        rng = np.random.default_rng(3)
+        shapes = [(16, 16), (8, 8), (4, 4)]
+        raw = [
+            jnp.asarray(
+                rng.standard_normal((2, h, w, 4 * reg_max + nc)) * 2,
+                jnp.float32,
+            )
+            for h, w in shapes
+        ]
+        split = [(m[..., : 4 * reg_max], m[..., 4 * reg_max :]) for m in raw]
+        for conf in (0.25, 0.95):
+            a = jax.device_get(
+                fused_postprocess(
+                    raw, nc, conf_thresh=conf, pre_nms_topk=128, max_det=30
+                )
+            )
+            b = jax.device_get(
+                fused_postprocess(
+                    split, nc, conf_thresh=conf, pre_nms_topk=128, max_det=30
+                )
+            )
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key])
+
+    def test_model_split_head_same_maps(self):
+        """model.apply(split_head=True) returns per-scale (box, cls) whose
+        concat equals the default output."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.models.registry import build_model, init_model
+
+        model = build_model("n", num_classes=7)
+        variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        cat = model.apply(variables, x, train=False)
+        split = model.apply(variables, x, train=False, split_head=True)
+        for m, (bx, cl) in zip(cat, split):
+            np.testing.assert_array_equal(
+                np.asarray(m), np.asarray(jnp.concatenate([bx, cl], axis=-1))
+            )

@@ -94,11 +94,13 @@ class Predictor:
         on-device so only uint8 pixels cross the host->device boundary
         (3/4 of the transfer bytes of float32)."""
         x = device_normalize_images(images_u8, self.model.dtype)
+        # split_head: the serving tail reads box/cls maps separately, so the
+        # head's channel concat (a pure HBM copy) never enters the graph
         if self.deploy:
             with deploy_mode():
-                raw = self.model.apply(variables, x, train=False)
+                raw = self.model.apply(variables, x, train=False, split_head=True)
         else:
-            raw = self.model.apply(variables, x, train=False)
+            raw = self.model.apply(variables, x, train=False, split_head=True)
         # fused tail: argmax on raw logits, f32 DFL decode, on-device NMS —
         # same outputs as decode_predictions+batched_nms, ~25% less
         # post-process cost at bs=128 (benchmarks/postproc_probe.py)

@@ -32,7 +32,16 @@ MS_PARAMS: dict[str, tuple[float, float, float]] = {
 
 # HKS protocol: kernel size per backbone stage (shallow -> deep).
 HKS_KERNELS: tuple[int, ...] = (3, 5, 7, 9)
-NECK_KERNEL: int = 7
+# Neck kernels per feature stride (8, 16, 32). Round 2 shipped a uniform
+# k=7 neck, which broke the HKS protocol at stride 8 AND hit the one
+# measured-slow XLA depthwise emitter shape on v5e (k7@[B,80,80,64]:
+# ~3.2 TFLOP/s vs 6-13 for every other site; 2 reformulations + an H-split
+# probed worse, PERF.md). Aligning the neck to the backbone's
+# scale-matched kernels (5 at stride 8, 7 at 16, 9 at 32) removes that
+# shape entirely — kernel choices are this repo's own to make (the
+# reference only documents YOLO-MS, annotations.md:66-133); the A/B on the
+# synthetic learning recipe is in PERF.md.
+NECK_KERNELS: tuple[int, int, int] = (5, 7, 9)
 
 
 def ms_params(version: str) -> tuple[float, float, float]:
@@ -95,10 +104,16 @@ class MSBackbone(nn.Module):
 
 
 class MSNeck(nn.Module):
-    """PAFPN with MSFusion + MSBlock (annotations.md:91-116)."""
+    """PAFPN with MSFusion + MSBlock (annotations.md:91-116).
+
+    Each neck stage uses the kernel size matched to its feature stride
+    (``neck_kernels``, default NECK_KERNELS) — the HKS protocol applied to
+    the neck, and the removal of the slow k7@stride-8 depthwise shape.
+    """
 
     version: str
     dtype: jnp.dtype = jnp.float32
+    neck_kernels: tuple[int, int, int] | None = None
 
     @nn.compact
     def __call__(
@@ -108,24 +123,24 @@ class MSNeck(nn.Module):
         c256, c512 = int(256 * width), int(512 * width)
         c512r = int(512 * width * ratio)
         dt = self.dtype
-        k = NECK_KERNEL
+        k8, k16, k32 = self.neck_kernels or NECK_KERNELS
 
         from yolo_ms_tpu.nn.blocks import upsample2x
 
         res_1 = p5
         x = upsample2x(p5)
         x = MSFusion(c512, dtype=dt, name="fuse_1")(x, p4, train=train)
-        res_2 = _MSStage(c512, k, depth, dtype=dt, name="stage_1")(x, train=train)
+        res_2 = _MSStage(c512, k16, depth, dtype=dt, name="stage_1")(x, train=train)
         x = upsample2x(res_2)
         x = MSFusion(c256, dtype=dt, name="fuse_2")(x, p3, train=train)
-        out1 = _MSStage(c256, k, depth, dtype=dt, name="stage_2")(x, train=train)
+        out1 = _MSStage(c256, k8, depth, dtype=dt, name="stage_2")(x, train=train)
 
         x = ConvBnSiLU(c256, 3, 2, dtype=dt, name="conv1")(out1, train=train)
         x = MSFusion(c512, dtype=dt, name="fuse_3")(x, res_2, train=train)
-        out2 = _MSStage(c512, k, depth, dtype=dt, name="stage_3")(x, train=train)
+        out2 = _MSStage(c512, k16, depth, dtype=dt, name="stage_3")(x, train=train)
         x = ConvBnSiLU(c512, 3, 2, dtype=dt, name="conv2")(out2, train=train)
         x = MSFusion(c512r, dtype=dt, name="fuse_4")(x, res_1, train=train)
-        out3 = _MSStage(c512r, k, depth, dtype=dt, name="stage_4")(x, train=train)
+        out3 = _MSStage(c512r, k32, depth, dtype=dt, name="stage_4")(x, train=train)
         return out1, out2, out3
 
 
@@ -136,15 +151,19 @@ class YOLOMS(nn.Module):
     num_classes: int = 80
     reg_max: int = 16
     dtype: jnp.dtype = jnp.float32
+    neck_kernels: tuple[int, int, int] | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False):
+    def __call__(self, x: jax.Array, *, train: bool = False, split_head: bool = False):
         p3, p4, p5 = MSBackbone(self.version, dtype=self.dtype, name="backbone")(
             x, train=train
         )
-        n1, n2, n3 = MSNeck(self.version, dtype=self.dtype, name="neck")(
-            p3, p4, p5, train=train
-        )
+        n1, n2, n3 = MSNeck(
+            self.version,
+            dtype=self.dtype,
+            neck_kernels=self.neck_kernels,
+            name="neck",
+        )(p3, p4, p5, train=train)
         # Head width multipliers follow the v8 head contract; reuse the same
         # decoupled head with the closest v8 width for channel sizing.
         head_version = {"xs": "n", "s": "s", "m": "m"}[self.version]
@@ -154,4 +173,4 @@ class YOLOMS(nn.Module):
             reg_max=self.reg_max,
             dtype=self.dtype,
             name="head",
-        )((n1, n2, n3), train=train)
+        )((n1, n2, n3), train=train, split=split_head)

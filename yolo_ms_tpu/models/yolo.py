@@ -138,7 +138,13 @@ class DetectHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], *, train: bool = False):
+    def __call__(
+        self,
+        feats: Sequence[jax.Array],
+        *,
+        train: bool = False,
+        split: bool = False,
+    ):
         import math
 
         coords = 4 * self.reg_max
@@ -159,7 +165,10 @@ class DetectHead(nn.Module):
                 dtype=self.dtype,
                 name=f"cls_{i}",
             )(f, train=train)
-            outs.append(jnp.concatenate([box, cls], axis=-1))
+            # split=True is the serving path: the tail consumes box/cls maps
+            # separately, so the [B,H,W,4*reg_max+nc] channel-concat (a pure
+            # ~0.9 ms HBM copy at bs=128, profile_e2e r3) is never built.
+            outs.append((box, cls) if split else jnp.concatenate([box, cls], axis=-1))
         return tuple(outs)
 
 
@@ -181,7 +190,7 @@ class YOLOv8(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False):
+    def __call__(self, x: jax.Array, *, train: bool = False, split_head: bool = False):
         p3, p4, p5 = Backbone(self.version, dtype=self.dtype, name="backbone")(
             x, train=train
         )
@@ -194,4 +203,4 @@ class YOLOv8(nn.Module):
             reg_max=self.reg_max,
             dtype=self.dtype,
             name="head",
-        )((n1, n2, n3), train=train)
+        )((n1, n2, n3), train=train, split=split_head)

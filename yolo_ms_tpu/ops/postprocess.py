@@ -9,12 +9,15 @@ fuses the tail around three identities:
 
 1. argmax/max over class logits == argmax/max over sigmoid scores
    (sigmoid is monotonic) -> the per-class sigmoid is never computed; only
-   the [B, K] top logits are sigmoided.
-2. The DFL expectation output is tiny ([B, A, 4] f32) even when computed for
-   every anchor, so it is decoded in f32 *before* selection and only
-   narrow 4-float rows are gathered for the K pre-NMS survivors. (A v1 of
-   this module gathered the raw [B, K, 4*reg_max] logits instead — the wide
-   row-gathers made it *slower* than the unfused path on TPU.)
+   the [B, K] top logits are sigmoided. The confidence threshold is applied
+   in logit domain (one static scalar compare over [B, A]).
+2. The raw box logits of the K pre-NMS survivors are gathered with
+   per-scale one-hot MXU contractions and only then DFL-decoded — the
+   [B, A, 4*reg_max] cross-scale concat never materializes, and every
+   row-gather (classes, boxes, outputs) runs at the adaptive prefix width
+   inside the lax.cond branch, not at full K. (Probed alternatives that
+   LOST on TPU: take_along_axis row gathers at width K — a serial
+   VMEM-bound gather at ~1.5 GiB/s — and decoding all A anchors first.)
 3. Anchor centers and strides are pure functions of the flattened anchor
    index (level offsets are static), so the survivors' anchors are computed
    arithmetically from top_idx — no gather at all.
@@ -65,10 +68,20 @@ def fused_postprocess(
     class_aware: bool = True,
     use_pallas: bool = False,
 ):
-    """Raw per-scale NHWC maps [B, H, W, 4*reg_max+nc] -> final detections."""
+    """Raw per-scale NHWC maps [B, H, W, 4*reg_max+nc] -> final detections.
+
+    Each ``raw_maps`` entry may instead be a ``(box_map, cls_map)`` tuple
+    (the head's ``split=True`` serving output, [B,H,W,4*reg_max] +
+    [B,H,W,nc]): identical results, but the per-scale channel concat — a
+    pure ~0.9 ms HBM copy at bs=128 that serving never needs — is never
+    built (profile_e2e r3: pad_maximum fusions + relayout copies).
+    """
     no = 4 * reg_max + num_classes
-    b = raw_maps[0].shape[0]
-    shapes = [(m.shape[1], m.shape[2]) for m in raw_maps]
+    split = isinstance(raw_maps[0], (tuple, list))
+    b = (raw_maps[0][0] if split else raw_maps[0]).shape[0]
+    shapes = [
+        (m[0] if split else m).shape[1:3] for m in raw_maps
+    ]
 
     # (1) per-scale class reduction BEFORE any concat: max/argmax over
     # class logits (sigmoid deferred to the K winners — monotonic). Only
@@ -86,12 +99,26 @@ def fused_postprocess(
     # the top-K-only decode below by a narrow gather.)
     # all-or-nothing: mixed pallas/XLA scales would split the box data
     # between the two decode paths below
-    use_pallas = use_pallas and all(
-        select_supported(m.shape[1] * m.shape[2], num_classes)
-        for m in raw_maps
+    use_pallas = (
+        use_pallas
+        and not split
+        and all(
+            select_supported(m.shape[1] * m.shape[2], num_classes)
+            for m in raw_maps
+        )
     )
     max_l, cls_l, box_l, ltrb_l = [], [], [], []
     for m in raw_maps:
+        if split:
+            box_m, cls_m_4d = m
+            hw = box_m.shape[1] * box_m.shape[2]
+            cls_m = cls_m_4d.reshape(b, hw, num_classes)
+            mx = jnp.max(cls_m, axis=-1)
+            cid = jnp.argmax(cls_m, axis=-1).astype(jnp.int32)
+            box_l.append(box_m.reshape(b, hw, 4 * reg_max))
+            max_l.append(mx)
+            cls_l.append(cid)
+            continue
         hw = m.shape[1] * m.shape[2]
         flat_m = m.reshape(b, hw, no)
         if use_pallas:
@@ -108,67 +135,92 @@ def fused_postprocess(
             cls_m = flat_m[..., 4 * reg_max :]
             mx = jnp.max(cls_m, axis=-1)
             cid = jnp.argmax(cls_m, axis=-1).astype(jnp.int32)
+            # per-scale slice kept un-concatenated: the [B, A, 4*reg_max]
+            # concat (137 MB bf16 at bs=128) measured 0.42 ms of pure copy;
+            # the one-hot DFL gather below contracts per scale instead.
             box_l.append(flat_m[..., : 4 * reg_max])
         max_l.append(mx)
         cls_l.append(cid)
-    max_logit = jnp.concatenate(max_l, axis=1)  # [B, A]
+    max_logit = jnp.concatenate(max_l, axis=1).astype(jnp.float32)  # [B, A]
     cls_id = jnp.concatenate(cls_l, axis=1)  # [B, A]
     a = max_logit.shape[1]
-
-    # (2) pre-NMS top-K on the max logit (same order as sigmoid scores)
     k = min(pre_nms_topk, a)
-    top_logit, top_idx = jax.lax.top_k(max_logit.astype(jnp.float32), k)
-    top_classes = jnp.take_along_axis(cls_id, top_idx, axis=1)  # [B, K]
 
-    box_logits = (
-        jnp.concatenate(box_l, axis=1) if box_l else None
-    )  # [B, A, 4*reg_max] raw dtype
     ltrb_all = (
         jnp.concatenate(ltrb_l, axis=1) if ltrb_l else None
     )  # [B, A, 4] f32 (pallas path)
 
-    # confidence gate (reference uses strict >, tools/test.py:182)
-    top_scores = jax.nn.sigmoid(top_logit)
-    top_scores = jnp.where(top_scores > conf_thresh, top_scores, -1.0)
-
     level_sizes = [h * w for h, w in shapes]
     offs = np.cumsum([0] + level_sizes)
 
+    # Static logit-domain confidence threshold: sigmoid(l) > c  <=>
+    # l > log(c/(1-c)) (sigmoid is monotonic), so the branch predicate
+    # below never needs a top-k or a sigmoid over all A anchors.
+    if conf_thresh >= 1.0:
+        logit_thresh = np.inf
+    elif conf_thresh <= 0.0:
+        logit_thresh = -np.inf
+    else:
+        logit_thresh = float(np.log(conf_thresh / (1.0 - conf_thresh)))
+
     def _tail(kk: int):
-        """Decode + NMS + final selection on the first kk candidates.
+        """Decode + NMS + final selection at candidate width kk.
 
         Everything downstream of the conf gate only ever touches the
         gate's survivors, which are a PREFIX of the score-sorted K (the
-        gate is monotonic in the sort key) — so the whole tail can run at
-        prefix width: DFL one-hot gather [B, kk, A], suppression matrix
-        [kk, kk], final top-k over kk. Outputs are padded to max_det so
-        both cond branches agree.
+        gate is monotonic in the sort key) — so the WHOLE tail runs at
+        prefix width inside the cond branch: the top-k sort itself
+        (XLA's TopK is deterministic, so top_k(x, 256) == the first 256
+        rows of top_k(x, K)), the class-id gather, the DFL one-hot
+        gather [B, kk, hw_s], the suppression matrix [kk, kk], and the
+        final top-k over kk. Round-2 profiling showed the pre-cond
+        versions of these at K=1024 were ~2.4 ms of the ~5 ms tail (the
+        [B, A] class-id take_along_axis alone was 1.33 ms — a serial
+        VMEM-bound gather at 1.5 GiB/s). Outputs are padded to max_det
+        so both cond branches agree.
         """
 
-        def fn(operands):
-            idx, scores, classes = (o[:, :kk] for o in operands)
+        def fn(_):
+            top_logit, idx = jax.lax.top_k(max_logit, kk)
+            # confidence gate (reference uses strict >, tools/test.py:182)
+            scores = jax.nn.sigmoid(top_logit)
+            scores = jnp.where(scores > conf_thresh, scores, -1.0)
+            classes = jnp.take_along_axis(cls_id, idx, axis=1)
 
             # DFL expectation for the kk survivors only: raw box logits
-            # gathered with a one-hot MXU contraction (exact: one-hot x
-            # bf16 values, f32 accumulate) — measured ~1 ms faster at
-            # bs=128 than decoding all A anchors and narrow-gathering, and
-            # far faster than take_along_axis row gathers.
-            if box_logits is not None:
-                sel = jax.nn.one_hot(idx, a, dtype=box_logits.dtype)
-                # for f32 maps HIGHEST stops the TPU default from rounding
-                # the gathered logits to bf16 (bf16 maps are exact as-is)
-                prec = (
-                    jax.lax.Precision.HIGHEST
-                    if box_logits.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT
-                )
-                top_box = jnp.einsum(
-                    "bka,bad->bkd",
-                    sel,
-                    box_logits,
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )
+            # gathered with per-scale one-hot MXU contractions (exact:
+            # one-hot x bf16 values, f32 accumulate) — measured ~1 ms
+            # faster at bs=128 than decoding all A anchors and
+            # narrow-gathering, and far faster than take_along_axis row
+            # gathers. Out-of-level indices one-hot to the zero row, so
+            # summing the per-scale partials reassembles the full gather
+            # without ever materializing the cross-scale concat.
+            if box_l:
+                top_box = None
+                for s, box_s in enumerate(box_l):
+                    local = idx - int(offs[s])
+                    in_lvl = (idx >= int(offs[s])) & (idx < int(offs[s + 1]))
+                    sel = jax.nn.one_hot(
+                        jnp.where(in_lvl, local, -1),
+                        level_sizes[s],
+                        dtype=box_s.dtype,
+                    )
+                    # for f32 maps HIGHEST stops the TPU default from
+                    # rounding the gathered logits to bf16 (bf16 maps are
+                    # exact as-is)
+                    prec = (
+                        jax.lax.Precision.HIGHEST
+                        if box_s.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT
+                    )
+                    part = jnp.einsum(
+                        "bka,bad->bkd",
+                        sel,
+                        box_s,
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
+                    top_box = part if top_box is None else top_box + part
                 ltrb = dfl_expectation(top_box.reshape(b, kk, 4, reg_max))
             else:
                 ltrb = jnp.take_along_axis(ltrb_all, idx[..., None], axis=1)
@@ -229,11 +281,19 @@ def fused_postprocess(
 
     # Adaptive prefix dispatch (EXACT, not approximate): when every image's
     # conf survivors fit in a 256 prefix — the typical serving case at
-    # conf 0.25 — the entire decode/NMS/selection tail runs at width 256;
-    # the dense fallback at width K is the other lax.cond branch.
-    operands = (top_idx, top_scores, top_classes)
+    # conf 0.25 — the entire tail INCLUDING the top-k sort, class gather
+    # and DFL gather runs at width 256; the dense fallback at width K is
+    # the other lax.cond branch. The predicate is a plain threshold count
+    # over [B, A] (no sort). The count threshold is nudged one ulp down so
+    # any float disagreement with the f32 sigmoid gate can only OVERcount
+    # — i.e. fall back to the dense branch, never wrongly take the prefix.
     ks = min(256, k)
     if ks < k:
-        n_valid = (top_scores > 0.0).sum(axis=-1).max()
-        return jax.lax.cond(n_valid <= ks, _tail(ks), _tail(k), operands)
-    return _tail(k)(operands)
+        count_thresh = (
+            float(np.nextafter(np.float32(logit_thresh), np.float32(-np.inf)))
+            if np.isfinite(logit_thresh)
+            else logit_thresh
+        )
+        n_valid = (max_logit > count_thresh).sum(axis=-1).max()
+        return jax.lax.cond(n_valid <= ks, _tail(ks), _tail(k), 0)
+    return _tail(k)(0)
