@@ -107,17 +107,18 @@ def fused_postprocess(
             for m in raw_maps
         )
     )
-    max_l, cls_l, box_l, ltrb_l = [], [], [], []
+    max_l, cls_l, box_l, clsrow_l, ltrb_l = [], [], [], [], []
     for m in raw_maps:
         if split:
             box_m, cls_m_4d = m
             hw = box_m.shape[1] * box_m.shape[2]
             cls_m = cls_m_4d.reshape(b, hw, num_classes)
-            mx = jnp.max(cls_m, axis=-1)
-            cid = jnp.argmax(cls_m, axis=-1).astype(jnp.int32)
+            # max only — the survivors' class ids come from a prefix-width
+            # row gather + argmax inside the cond branch (the full-A argmax
+            # and its [B, A] s32 gather were ~0.5 ms at bs=128, profile r3)
+            max_l.append(jnp.max(cls_m, axis=-1))
             box_l.append(box_m.reshape(b, hw, 4 * reg_max))
-            max_l.append(mx)
-            cls_l.append(cid)
+            clsrow_l.append(cls_m)
             continue
         hw = m.shape[1] * m.shape[2]
         flat_m = m.reshape(b, hw, no)
@@ -131,18 +132,24 @@ def fused_postprocess(
             )
             mx = mx.astype(flat_m.dtype)  # top-k key dtype parity with XLA path
             ltrb_l.append(ltrb_s)
+            cls_l.append(cid)
         else:
             cls_m = flat_m[..., 4 * reg_max :]
             mx = jnp.max(cls_m, axis=-1)
-            cid = jnp.argmax(cls_m, axis=-1).astype(jnp.int32)
             # per-scale slice kept un-concatenated: the [B, A, 4*reg_max]
             # concat (137 MB bf16 at bs=128) measured 0.42 ms of pure copy;
             # the one-hot DFL gather below contracts per scale instead.
             box_l.append(flat_m[..., : 4 * reg_max])
+            clsrow_l.append(cls_m)
         max_l.append(mx)
-        cls_l.append(cid)
-    max_logit = jnp.concatenate(max_l, axis=1).astype(jnp.float32)  # [B, A]
-    cls_id = jnp.concatenate(cls_l, axis=1)  # [B, A]
+    # Ranking keys stay in the maps' native dtype (bf16 for serving): the
+    # selection sort is bandwidth-bound, and an f32 upcast would double its
+    # HBM traffic. top-k VALUES are upcast to f32 after selection for the
+    # sigmoid/gate, so scores are unchanged; only exact-tie ORDER among
+    # anchors within one bf16 ulp can differ, and the stable sort keeps
+    # that deterministic.
+    max_logit = jnp.concatenate(max_l, axis=1)  # [B, A]
+    cls_id = jnp.concatenate(cls_l, axis=1) if cls_l else None  # [B, A] (pallas)
     a = max_logit.shape[1]
     k = min(pre_nms_topk, a)
 
@@ -169,34 +176,43 @@ def fused_postprocess(
         Everything downstream of the conf gate only ever touches the
         gate's survivors, which are a PREFIX of the score-sorted K (the
         gate is monotonic in the sort key) — so the WHOLE tail runs at
-        prefix width inside the cond branch: the top-k sort itself
-        (XLA's TopK is deterministic, so top_k(x, 256) == the first 256
-        rows of top_k(x, K)), the class-id gather, the DFL one-hot
-        gather [B, kk, hw_s], the suppression matrix [kk, kk], and the
-        final top-k over kk. Round-2 profiling showed the pre-cond
-        versions of these at K=1024 were ~2.4 ms of the ~5 ms tail (the
-        [B, A] class-id take_along_axis alone was 1.33 ms — a serial
-        VMEM-bound gather at 1.5 GiB/s). Outputs are padded to max_det
-        so both cond branches agree.
+        prefix width inside the cond branch: the top-k selection itself
+        (approx_max_k at recall 1.0 is value-exact, so the gate passes
+        the same anchor set at either width; only the relative order of
+        anchors whose keys tie EXACTLY may differ between widths), the
+        class-row gather + argmax, the DFL one-hot gather [B, kk, hw_s],
+        the suppression matrix [kk, kk], and the final top-k over kk.
+        Round-2 profiling showed the pre-cond versions of these at
+        K=1024 were ~2.4 ms of the ~5 ms tail (the [B, A] class-id
+        take_along_axis alone was 1.33 ms — a serial VMEM-bound gather
+        at 1.5 GiB/s). Outputs are padded to max_det so both cond
+        branches agree.
         """
 
         def fn(_):
-            top_logit, idx = jax.lax.top_k(max_logit, kk)
+            # approx_max_k lowers to the TPU PartialReduce op instead of a
+            # full [B, A] variadic sort (the sort was 0.97 ms at bs=128,
+            # profile r3); recall_target=1.0 + aggregate_to_topk keeps it
+            # EXACT (verified value-exact incl. heavy ties,
+            # benchmarks/topk_probe.py) and sorted descending. Non-TPU
+            # backends decompose it to the exact dense fallback.
+            top_logit, idx = jax.lax.approx_max_k(max_logit, kk, recall_target=1.0)
             # confidence gate (reference uses strict >, tools/test.py:182)
-            scores = jax.nn.sigmoid(top_logit)
+            scores = jax.nn.sigmoid(top_logit.astype(jnp.float32))
             scores = jnp.where(scores > conf_thresh, scores, -1.0)
-            classes = jnp.take_along_axis(cls_id, idx, axis=1)
 
-            # DFL expectation for the kk survivors only: raw box logits
-            # gathered with per-scale one-hot MXU contractions (exact:
-            # one-hot x bf16 values, f32 accumulate) — measured ~1 ms
-            # faster at bs=128 than decoding all A anchors and
-            # narrow-gathering, and far faster than take_along_axis row
+            # DFL box logits AND class rows for the kk survivors only: both
+            # gathered with per-scale one-hot MXU contractions sharing one
+            # selector (exact: one-hot x bf16 values, f32 accumulate) —
+            # measured ~1 ms faster at bs=128 than decoding all A anchors
+            # and narrow-gathering, and far faster than take_along_axis row
             # gathers. Out-of-level indices one-hot to the zero row, so
             # summing the per-scale partials reassembles the full gather
-            # without ever materializing the cross-scale concat.
+            # without ever materializing any cross-scale concat. The
+            # survivors' class ids come from an argmax over the gathered
+            # [B, kk, nc] rows — the full-A argmax never runs.
             if box_l:
-                top_box = None
+                top_box, top_cls = None, None
                 for s, box_s in enumerate(box_l):
                     local = idx - int(offs[s])
                     in_lvl = (idx >= int(offs[s])) & (idx < int(offs[s + 1]))
@@ -221,9 +237,19 @@ def fused_postprocess(
                         preferred_element_type=jnp.float32,
                     )
                     top_box = part if top_box is None else top_box + part
+                    part_c = jnp.einsum(
+                        "bka,bad->bkd",
+                        sel.astype(clsrow_l[s].dtype),
+                        clsrow_l[s],
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
+                    top_cls = part_c if top_cls is None else top_cls + part_c
                 ltrb = dfl_expectation(top_box.reshape(b, kk, 4, reg_max))
+                classes = jnp.argmax(top_cls, axis=-1).astype(jnp.int32)
             else:
                 ltrb = jnp.take_along_axis(ltrb_all, idx[..., None], axis=1)
+                classes = jnp.take_along_axis(cls_id, idx, axis=1)
 
             # anchors/strides computed arithmetically from the flat index —
             # level boundaries are static, so no table gather is needed
@@ -256,11 +282,24 @@ def fused_postprocess(
             )
             kept = jnp.where(keep, scores, -1.0)
 
-            # final top max_det
+            # final top max_det; the row gather runs as one packed one-hot
+            # MXU contraction (boxes + class id as a 5th f32 channel — ids
+            # < 2^24 round-trip exactly; HIGHEST precision so nothing is
+            # rounded to bf16), replacing two serial take_along_axis ops
             kd = min(max_det, kk)
             out_scores, out_idx = jax.lax.top_k(kept, kd)
-            out_boxes = jnp.take_along_axis(boxes, out_idx[..., None], axis=1)
-            out_classes = jnp.take_along_axis(classes, out_idx, axis=1)
+            packed = jnp.concatenate(
+                [boxes, classes[..., None].astype(jnp.float32)], axis=-1
+            )
+            sel_out = jax.nn.one_hot(out_idx, kk, dtype=jnp.float32)
+            out = jnp.einsum(
+                "bok,bkd->bod",
+                sel_out,
+                packed,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_boxes = out[..., :4]
+            out_classes = jnp.round(out[..., 4]).astype(jnp.int32)
             valid = out_scores > 0.0
             if kd < max_det:
                 pad = max_det - kd
@@ -289,11 +328,15 @@ def fused_postprocess(
     # — i.e. fall back to the dense branch, never wrongly take the prefix.
     ks = min(256, k)
     if ks < k:
-        count_thresh = (
-            float(np.nextafter(np.float32(logit_thresh), np.float32(-np.inf)))
-            if np.isfinite(logit_thresh)
-            else logit_thresh
-        )
+        # The keys may be bf16 and the compare promotes the threshold into
+        # the key dtype, so nudge it down by a conservative margin (> one
+        # bf16 ulp at |thresh|): any rounding disagreement with the f32
+        # sigmoid gate can then only OVERcount — i.e. fall back to the
+        # dense branch, never wrongly take the prefix.
+        if np.isfinite(logit_thresh):
+            count_thresh = logit_thresh - 0.02 * max(1.0, abs(logit_thresh))
+        else:
+            count_thresh = logit_thresh
         n_valid = (max_logit > count_thresh).sum(axis=-1).max()
         return jax.lax.cond(n_valid <= ks, _tail(ks), _tail(k), 0)
     return _tail(k)(0)
