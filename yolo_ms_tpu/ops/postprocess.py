@@ -107,18 +107,22 @@ def fused_postprocess(
             for m in raw_maps
         )
     )
-    max_l, cls_l, box_l, clsrow_l, ltrb_l = [], [], [], [], []
+    # Per-anchor class ids are stored in the maps' dtype so the prefix-width
+    # one-hot gather can share the DFL gather's selector: ids < 256
+    # round-trip bf16 exactly (8 mantissa bits), anything wider uses f32.
+    map_dt = (raw_maps[0][0] if split else raw_maps[0]).dtype
+    cid_dt = map_dt if (num_classes <= 256 or map_dt == jnp.float32) else jnp.float32
+
+    max_l, cls_l, box_l, cid_l, ltrb_l = [], [], [], [], []
     for m in raw_maps:
         if split:
             box_m, cls_m_4d = m
             hw = box_m.shape[1] * box_m.shape[2]
             cls_m = cls_m_4d.reshape(b, hw, num_classes)
-            # max only — the survivors' class ids come from a prefix-width
-            # row gather + argmax inside the cond branch (the full-A argmax
-            # and its [B, A] s32 gather were ~0.5 ms at bs=128, profile r3)
-            max_l.append(jnp.max(cls_m, axis=-1))
+            mx = jnp.max(cls_m, axis=-1)
             box_l.append(box_m.reshape(b, hw, 4 * reg_max))
-            clsrow_l.append(cls_m)
+            cid_l.append(jnp.argmax(cls_m, axis=-1).astype(cid_dt)[..., None])
+            max_l.append(mx)
             continue
         hw = m.shape[1] * m.shape[2]
         flat_m = m.reshape(b, hw, no)
@@ -140,7 +144,7 @@ def fused_postprocess(
             # concat (137 MB bf16 at bs=128) measured 0.42 ms of pure copy;
             # the one-hot DFL gather below contracts per scale instead.
             box_l.append(flat_m[..., : 4 * reg_max])
-            clsrow_l.append(cls_m)
+            cid_l.append(jnp.argmax(cls_m, axis=-1).astype(cid_dt)[..., None])
         max_l.append(mx)
     # Ranking keys stay in the maps' native dtype (bf16 for serving): the
     # selection sort is bandwidth-bound, and an f32 upcast would double its
@@ -201,18 +205,21 @@ def fused_postprocess(
             scores = jax.nn.sigmoid(top_logit.astype(jnp.float32))
             scores = jnp.where(scores > conf_thresh, scores, -1.0)
 
-            # DFL box logits AND class rows for the kk survivors only: both
+            # DFL box logits AND class ids for the kk survivors only: both
             # gathered with per-scale one-hot MXU contractions sharing one
             # selector (exact: one-hot x bf16 values, f32 accumulate) —
             # measured ~1 ms faster at bs=128 than decoding all A anchors
             # and narrow-gathering, and far faster than take_along_axis row
             # gathers. Out-of-level indices one-hot to the zero row, so
             # summing the per-scale partials reassembles the full gather
-            # without ever materializing any cross-scale concat. The
-            # survivors' class ids come from an argmax over the gathered
-            # [B, kk, nc] rows — the full-A argmax never runs.
+            # without ever materializing any cross-scale concat. The class
+            # id rides along as ONE extra channel (the per-scale argmax
+            # stored in the maps' dtype — exact for ids < 256): gathering
+            # the precomputed id costs a [B,hw,1] operand instead of the
+            # [B,hw,nc] class-row relayout the r3 profile flagged (~0.9 ms
+            # of data-formatting copies at bs=128).
             if box_l:
-                top_box, top_cls = None, None
+                top_box, top_cid = None, None
                 for s, box_s in enumerate(box_l):
                     local = idx - int(offs[s])
                     in_lvl = (idx >= int(offs[s])) & (idx < int(offs[s + 1]))
@@ -239,14 +246,18 @@ def fused_postprocess(
                     top_box = part if top_box is None else top_box + part
                     part_c = jnp.einsum(
                         "bka,bad->bkd",
-                        sel.astype(clsrow_l[s].dtype),
-                        clsrow_l[s],
-                        precision=prec,
+                        sel.astype(cid_l[s].dtype),
+                        cid_l[s],
+                        precision=(
+                            jax.lax.Precision.HIGHEST
+                            if cid_l[s].dtype == jnp.float32
+                            else jax.lax.Precision.DEFAULT
+                        ),
                         preferred_element_type=jnp.float32,
                     )
-                    top_cls = part_c if top_cls is None else top_cls + part_c
+                    top_cid = part_c if top_cid is None else top_cid + part_c
                 ltrb = dfl_expectation(top_box.reshape(b, kk, 4, reg_max))
-                classes = jnp.argmax(top_cls, axis=-1).astype(jnp.int32)
+                classes = jnp.round(top_cid[..., 0]).astype(jnp.int32)
             else:
                 ltrb = jnp.take_along_axis(ltrb_all, idx[..., None], axis=1)
                 classes = jnp.take_along_axis(cls_id, idx, axis=1)
