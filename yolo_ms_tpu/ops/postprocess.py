@@ -113,6 +113,13 @@ def fused_postprocess(
     map_dt = (raw_maps[0][0] if split else raw_maps[0]).dtype
     cid_dt = map_dt if (num_classes <= 256 or map_dt == jnp.float32) else jnp.float32
 
+    # When the id channel's dtype matches the maps', it is PACKED as a 65th
+    # channel of the per-scale box operand so the prefix-width gather below
+    # is ONE einsum per scale — the [B, kk, hw_s] one-hot selector (419 MB
+    # bf16 at bs=128 for the s8 scale) is materialized and read once, not
+    # twice (profile r3: broadcast_in_dim 0.52 ms/iter).
+    packed_cid = cid_dt == map_dt
+
     max_l, cls_l, box_l, cid_l, ltrb_l = [], [], [], [], []
     for m in raw_maps:
         if split:
@@ -120,8 +127,13 @@ def fused_postprocess(
             hw = box_m.shape[1] * box_m.shape[2]
             cls_m = cls_m_4d.reshape(b, hw, num_classes)
             mx = jnp.max(cls_m, axis=-1)
-            box_l.append(box_m.reshape(b, hw, 4 * reg_max))
-            cid_l.append(jnp.argmax(cls_m, axis=-1).astype(cid_dt)[..., None])
+            box_s = box_m.reshape(b, hw, 4 * reg_max)
+            cid_s = jnp.argmax(cls_m, axis=-1).astype(cid_dt)[..., None]
+            if packed_cid:
+                box_l.append(jnp.concatenate([box_s, cid_s], axis=-1))
+            else:
+                box_l.append(box_s)
+                cid_l.append(cid_s)
             max_l.append(mx)
             continue
         hw = m.shape[1] * m.shape[2]
@@ -143,8 +155,13 @@ def fused_postprocess(
             # per-scale slice kept un-concatenated: the [B, A, 4*reg_max]
             # concat (137 MB bf16 at bs=128) measured 0.42 ms of pure copy;
             # the one-hot DFL gather below contracts per scale instead.
-            box_l.append(flat_m[..., : 4 * reg_max])
-            cid_l.append(jnp.argmax(cls_m, axis=-1).astype(cid_dt)[..., None])
+            box_s = flat_m[..., : 4 * reg_max]
+            cid_s = jnp.argmax(cls_m, axis=-1).astype(cid_dt)[..., None]
+            if packed_cid:
+                box_l.append(jnp.concatenate([box_s, cid_s], axis=-1))
+            else:
+                box_l.append(box_s)
+                cid_l.append(cid_s)
         max_l.append(mx)
     # Ranking keys stay in the maps' native dtype (bf16 for serving): the
     # selection sort is bandwidth-bound, and an f32 upcast would double its
@@ -244,18 +261,21 @@ def fused_postprocess(
                         preferred_element_type=jnp.float32,
                     )
                     top_box = part if top_box is None else top_box + part
-                    part_c = jnp.einsum(
-                        "bka,bad->bkd",
-                        sel.astype(cid_l[s].dtype),
-                        cid_l[s],
-                        precision=(
-                            jax.lax.Precision.HIGHEST
-                            if cid_l[s].dtype == jnp.float32
-                            else jax.lax.Precision.DEFAULT
-                        ),
-                        preferred_element_type=jnp.float32,
-                    )
-                    top_cid = part_c if top_cid is None else top_cid + part_c
+                    if not packed_cid:
+                        part_c = jnp.einsum(
+                            "bka,bad->bkd",
+                            sel.astype(cid_l[s].dtype),
+                            cid_l[s],
+                            precision=(
+                                jax.lax.Precision.HIGHEST
+                                if cid_l[s].dtype == jnp.float32
+                                else jax.lax.Precision.DEFAULT
+                            ),
+                            preferred_element_type=jnp.float32,
+                        )
+                        top_cid = part_c if top_cid is None else top_cid + part_c
+                if packed_cid:
+                    top_box, top_cid = top_box[..., :-1], top_box[..., -1:]
                 ltrb = dfl_expectation(top_box.reshape(b, kk, 4, reg_max))
                 classes = jnp.round(top_cid[..., 0]).astype(jnp.int32)
             else:
