@@ -256,6 +256,50 @@ class TestFusedPostprocess:
                 got["boxes"][v], want["boxes"][v], rtol=1e-4, atol=1e-3
             )
 
+    def test_multi_tier_prefix_widths(self):
+        """Multi-tier adaptive prefix (r3): planted survivor counts landing
+        in every tier band (<=64, <=128, <=256, dense fallback) must give
+        identical results for every `prefix_widths` setting — the dispatch
+        is exact, only the executed width changes."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_ms_tpu.ops.postprocess import fused_postprocess
+
+        nc, reg_max = 7, 16
+        no = 4 * reg_max + nc
+        shapes = [(16, 16), (8, 8), (4, 4)]  # A = 336
+        variants = [(), (64,), (64, 128), (64, 128, 256), (128,)]
+        for planted in (30, 100, 200, 300):
+            rng = np.random.default_rng(planted)
+            maps = [
+                rng.standard_normal((2, h, w, no)).astype(np.float32) - 8.0
+                for h, w in shapes
+            ]
+            for bi in range(2):
+                ys = rng.integers(0, 16, planted)
+                xs = rng.integers(0, 16, planted)
+                cs = rng.integers(0, nc, planted)
+                maps[0][bi, ys, xs, 4 * reg_max + cs] = 4.0 + rng.random(planted)
+            jmaps = [jnp.asarray(m) for m in maps]
+            ref = None
+            for widths in variants:
+                got = jax.device_get(
+                    fused_postprocess(
+                        jmaps, nc, pre_nms_topk=336, max_det=50,
+                        prefix_widths=widths,
+                    )
+                )
+                if ref is None:
+                    ref = got
+                    continue
+                for k in ("boxes", "scores", "classes", "valid"):
+                    np.testing.assert_array_equal(
+                        got[k], ref[k],
+                        err_msg=f"planted={planted} widths={widths} key={k}",
+                    )
+
     def test_bf16_maps(self):
         """The serving path feeds bf16 maps; boxes must come out f32 and
         finite, within 1px of the f32 result."""

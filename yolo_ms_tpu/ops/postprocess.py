@@ -54,6 +54,7 @@ from yolo_ms_tpu.ops.pallas.select import select_scale, select_supported
         "max_det",
         "class_aware",
         "use_pallas",
+        "prefix_widths",
     ),
 )
 def fused_postprocess(
@@ -67,6 +68,7 @@ def fused_postprocess(
     max_det: int = 300,
     class_aware: bool = True,
     use_pallas: bool = False,
+    prefix_widths: tuple = (256,),
 ):
     """Raw per-scale NHWC maps [B, H, W, 4*reg_max+nc] -> final detections.
 
@@ -329,15 +331,19 @@ def fused_postprocess(
                 packed,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            valid = out_scores > 0.0
+            # canonicalize invalid slots: zero boxes/ids, 0.0 scores —
+            # otherwise they carry whichever candidate the final top_k
+            # happened to rank there, which differs between prefix widths
+            # and makes outputs non-deterministic across serving configs
+            out = out * valid[..., None].astype(out.dtype)
+            out_scores = jnp.maximum(out_scores, 0.0)
             out_boxes = out[..., :4]
             out_classes = jnp.round(out[..., 4]).astype(jnp.int32)
-            valid = out_scores > 0.0
             if kd < max_det:
                 pad = max_det - kd
                 out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
-                out_scores = jnp.pad(
-                    out_scores, ((0, 0), (0, pad)), constant_values=-1.0
-                )
+                out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
                 out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
                 valid = jnp.pad(valid, ((0, 0), (0, pad)))
             return {
@@ -350,24 +356,29 @@ def fused_postprocess(
         return fn
 
     # Adaptive prefix dispatch (EXACT, not approximate): when every image's
-    # conf survivors fit in a 256 prefix — the typical serving case at
+    # conf survivors fit in a small prefix — the typical serving case at
     # conf 0.25 — the entire tail INCLUDING the top-k sort, class gather
-    # and DFL gather runs at width 256; the dense fallback at width K is
-    # the other lax.cond branch. The predicate is a plain threshold count
-    # over [B, A] (no sort). The count threshold is nudged one ulp down so
-    # any float disagreement with the f32 sigmoid gate can only OVERcount
-    # — i.e. fall back to the dense branch, never wrongly take the prefix.
-    ks = min(256, k)
-    if ks < k:
-        # The keys may be bf16 and the compare promotes the threshold into
-        # the key dtype, so nudge it down by a conservative margin (> one
-        # bf16 ulp at |thresh|): any rounding disagreement with the f32
-        # sigmoid gate can then only OVERcount — i.e. fall back to the
-        # dense branch, never wrongly take the prefix.
+    # and DFL gather runs at that width; wider tiers (and finally the
+    # dense width-K tail) are the outer lax.cond branches. The predicate
+    # is a plain threshold count over [B, A] (no sort). The count
+    # threshold is nudged down by a conservative margin (> one bf16 ulp at
+    # |thresh|; the keys may be bf16 and the compare promotes the
+    # threshold into the key dtype) so any float disagreement with the f32
+    # sigmoid gate can only OVERcount — i.e. fall back to a wider branch,
+    # never wrongly take a prefix.
+    widths = [w for w in sorted(set(prefix_widths)) if 0 < w < k]
+    if widths:
         if np.isfinite(logit_thresh):
             count_thresh = logit_thresh - 0.02 * max(1.0, abs(logit_thresh))
         else:
             count_thresh = logit_thresh
         n_valid = (max_logit > count_thresh).sum(axis=-1).max()
-        return jax.lax.cond(n_valid <= ks, _tail(ks), _tail(k), 0)
+        tail_fn = _tail(k)
+        for w in reversed(widths):
+
+            def tier(_, w=w, wider=tail_fn):
+                return jax.lax.cond(n_valid <= w, _tail(w), wider, 0)
+
+            tail_fn = tier
+        return tail_fn(0)
     return _tail(k)(0)

@@ -84,25 +84,38 @@ def task_aligned_assign(
     metric = jnp.where(mask_in, metric, 0.0).astype(jnp.bfloat16)
 
     # --- top-k per gt [B, M, A] -> mask of selected anchors ---
-    # ONE lax.approx_max_k pass (the TPU PartialReduce custom op; exact at
-    # recall_target=1.0, verified value-exact incl. heavy ties in
-    # benchmarks/topk_probe.py) over the bf16 metric. History: round 1
-    # replaced lax.top_k's full anchor-axis sort (~3x the model forward)
-    # with k iterative argmax+mask passes; those k re-read/re-write passes
-    # over the [B, M, A] working set (137 MB bf16 at max_gt=128/bs=128)
-    # then dominated the assigner (~14 ms of a 137 ms step). PartialReduce
-    # reads the metric once. Ranking on bf16-rounded metrics only reorders
-    # candidates within ~0.4% of each other, and anchors whose metrics tie
-    # EXACTLY may resolve differently than the sequential argmax did —
-    # both below training noise (the learning-recipe test is the guard);
-    # every downstream target gather stays exact f32. Non-TPU backends
-    # decompose approx_max_k to the exact dense top_k (CPU tests).
+    # Iterative max-and-mask instead of lax.top_k: top_k sorts the whole
+    # anchor axis (the single most expensive op of the loss on TPU — the
+    # sort dominated the loss at ~3x the model forward cost); k passes of
+    # argmax+scatter are linear and fuse. The loop state is bf16: at
+    # max_gt=128/bs=128 the [B, M, A] tensor is 550 MB f32 and the k
+    # re-read/re-write passes dominate the assigner (measured ~14 ms of a
+    # 137 ms step); ranking on bf16-rounded metrics only reorders
+    # candidates within ~0.4% of each other — the selected set is the same
+    # for any non-degenerate geometry, and every downstream target gather
+    # stays exact f32. Selected indices are collected and the dense mask is
+    # built in ONE fused pass at the end (instead of k passes over a bool
+    # [B, M, A] accumulator).
+    #
+    # Measured dead end (r3): ONE lax.approx_max_k (TPU PartialReduce) pass
+    # instead of the k argmax passes made the whole train step 66% SLOWER
+    # (221 vs 132.8 ms at bs=128/max_gt=128) — PartialReduce wins on the
+    # serving tail's [B, A] shape (128 rows) but collapses on this
+    # [B*M, A] = [16384, 8400] row count, while XLA fuses the k argmax
+    # passes into the surrounding elementwise work.
     k = min(topk, a)
+    remaining = metric.astype(jnp.bfloat16)
     col = jax.lax.broadcasted_iota(jnp.int32, metric.shape, metric.ndim - 1)
-    vals_k, idx_k = jax.lax.approx_max_k(
-        metric, k, recall_target=1.0, aggregate_to_topk=True
-    )  # [B, M, k] bf16 / s32
-    val_ok = vals_k > eps  # [B, M, k]
+    idxs, vals = [], []
+    for _ in range(k):
+        idx = jnp.argmax(remaining, axis=-1)  # [B, M]
+        vals.append(jnp.max(remaining, axis=-1))  # [B, M] bf16
+        idxs.append(idx)
+        remaining = jnp.where(
+            col == idx[..., None], jnp.bfloat16(-1.0), remaining
+        )
+    idx_k = jnp.stack(idxs, axis=-1)  # [B, M, k]
+    val_ok = (jnp.stack(vals, axis=-1) > eps)  # [B, M, k]
     sel = jnp.any(
         (col[..., None] == idx_k[..., None, :]) & val_ok[..., None, :], axis=-1
     )  # [B, M, A], one fused broadcast-compare-reduce
