@@ -52,6 +52,34 @@ class TestDFLHelper:
         out = _dfl_loss(logits, jnp.asarray([-3.0, 99.0]), 16)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_fused_ce_matches_reference_form(self):
+        """The shared-pass CE (r3: one exp/contract pass for expectation AND
+        log-normalizer) must equal _dfl_loss, and the shared expectation must
+        equal nn.blocks.dfl_expectation."""
+        from yolo_ms_tpu.nn.blocks import dfl_expectation
+        from yolo_ms_tpu.train.loss import _dfl_ce_from_logz, _dfl_expectation_logz
+
+        rng = np.random.default_rng(7)
+        dist = jnp.asarray(
+            rng.standard_normal((3, 11, 4, 16)) * 3.0, jnp.float32
+        )
+        target = jnp.asarray(rng.uniform(-1.0, 17.0, (3, 11, 4)), jnp.float32)
+        ltrb, logz = _dfl_expectation_logz(dist)
+        np.testing.assert_allclose(
+            np.asarray(ltrb), np.asarray(dfl_expectation(dist)), rtol=1e-6
+        )
+        got = np.asarray(_dfl_ce_from_logz(dist, logz, target, 16))
+        want = np.asarray(_dfl_loss(dist, target, 16))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+        # bf16 input path (the training maps' dtype): still finite + close
+        ltrb16, logz16 = _dfl_expectation_logz(dist.astype(jnp.bfloat16))
+        got16 = np.asarray(
+            _dfl_ce_from_logz(dist.astype(jnp.bfloat16), logz16, target, 16)
+        )
+        assert np.all(np.isfinite(got16))
+        np.testing.assert_allclose(got16, want, rtol=0.05, atol=0.05)
+
 
 def test_bce_logits_matches_stable_formula():
     x = jnp.asarray([-5.0, 0.0, 5.0])

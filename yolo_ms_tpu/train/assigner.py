@@ -104,21 +104,22 @@ def task_aligned_assign(
     # [B*M, A] = [16384, 8400] row count, while XLA fuses the k argmax
     # passes into the surrounding elementwise work.
     k = min(topk, a)
-    remaining = metric.astype(jnp.bfloat16)
+    remaining = metric
     col = jax.lax.broadcasted_iota(jnp.int32, metric.shape, metric.ndim - 1)
-    idxs, vals = [], []
     for _ in range(k):
         idx = jnp.argmax(remaining, axis=-1)  # [B, M]
-        vals.append(jnp.max(remaining, axis=-1))  # [B, M] bf16
-        idxs.append(idx)
         remaining = jnp.where(
             col == idx[..., None], jnp.bfloat16(-1.0), remaining
         )
-    idx_k = jnp.stack(idxs, axis=-1)  # [B, M, k]
-    val_ok = (jnp.stack(vals, axis=-1) > eps)  # [B, M, k]
-    sel = jnp.any(
-        (col[..., None] == idx_k[..., None, :]) & val_ok[..., None, :], axis=-1
-    )  # [B, M, A], one fused broadcast-compare-reduce
+    # `remaining` now encodes the selection directly: metric >= 0 everywhere
+    # (cls^a * iou^b, zeroed outside mask_in), and exactly the k argmax picks
+    # were overwritten with -1 — so picked <=> remaining < 0. The (> eps)
+    # guard drops zero-metric picks (argmax exhausting a row), replacing the
+    # pick-time val_ok bookkeeping: a pick's value at pick time IS its metric
+    # (earlier picks only overwrite their own positions). This avoids the
+    # [B, M, A, k] one-hot rebuild compare-reduce entirely (measured 3.2 ms
+    # of the r3 train profile).
+    sel = (remaining < jnp.bfloat16(0)) & (metric > eps)
     mask_pos = sel & mask_in
 
     # --- conflict resolution: anchor claimed by multiple gts -> max IoU ---

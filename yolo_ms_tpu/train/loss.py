@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from yolo_ms_tpu.models.decode import (
     DEFAULT_STRIDES,
-    decode_boxes_xyxy,
     flatten_maps,
     make_anchors,
 )
@@ -111,6 +110,61 @@ def _dfl_loss(dist_logits, target, reg_max):
     return -(two_hot * logp).sum(-1)
 
 
+def _dfl_expectation_logz(dist: jax.Array):
+    """ONE shared pass over [B, A, 4, reg_max]: DFL expectation AND the
+    per-side log-normalizer.
+
+    The train step previously ran this tensor twice — once through
+    ``dfl_expectation`` (box decode for CIoU) and once through
+    ``log_softmax`` (DFL cross-entropy) — two independent exp/reduce chains
+    over the step's largest f32 activation (measured 4.6 + 2.3 ms/step at
+    bs=128, benchmarks/profile_train.py). Both derive from the same shifted
+    exponentials: with e = exp(max(x - c, -60)) and the lane-friendly
+    [4*reg_max, 8] contraction of nn.blocks.dfl_expectation producing
+    per-side numerators/denominators,
+
+        expectation_i = num_i / den_i
+        logZ_i        = log(den_i) + c          (log-sum-exp per side)
+        CE(two_hot)   = logZ_i - (two_hot * x_i).sum   (since wl + wr = 1)
+
+    so the cross-entropy needs no second softmax pass. Returns
+    (ltrb [B,A,4] f32, logz [B,A,4] f32). Same -60 clamp semantics as
+    nn.blocks.dfl_expectation.
+    """
+    *lead, k, reg_max = dist.shape
+    x = dist.astype(jnp.float32).reshape(*lead, k * reg_max)
+    c = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(jnp.maximum(x - c, -60.0))
+    idx = jnp.arange(k * reg_max)
+    seg = (idx[:, None] // reg_max == jnp.arange(k)[None, :]).astype(jnp.float32)
+    rhs = jnp.concatenate([seg * (idx % reg_max)[:, None], seg], axis=1)
+    out = jnp.einsum(
+        "...i,ij->...j", e, rhs, precision=jax.lax.Precision.HIGHEST
+    )
+    ltrb = out[..., :k] / out[..., k:]
+    logz = jnp.log(out[..., k:]) + c
+    return ltrb, logz
+
+
+def _dfl_ce_from_logz(dist_logits, logz, target, reg_max):
+    """Two-bin soft-label CE using a precomputed per-side log-normalizer.
+
+    Equals ``_dfl_loss`` (the directly-tested reference form) without its
+    log_softmax pass: CE = logZ - wl*x[tl] - wr*x[tl+1].
+    """
+    target = jnp.clip(target, 0.0, reg_max - 1 - 1e-3)
+    tl = jnp.floor(target)
+    wr = target - tl
+    wl = 1.0 - wr
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    two_hot = (
+        wl[..., None] * (bins == tl[..., None])
+        + wr[..., None] * (bins == tl[..., None] + 1.0)
+    )
+    picked = (two_hot * dist_logits.astype(jnp.float32)).sum(-1)
+    return logz - picked
+
+
 def detection_loss(
     raw_maps: Sequence[jax.Array],
     gt_boxes: jax.Array,  # [B, M, 4] (cx,cy,w,h) normalized 0-1 (dataset contract)
@@ -143,14 +197,25 @@ def detection_loss(
     compute_dtype = jnp.float32
 
     anchors, stride_t = make_anchors(shapes, strides, dtype=compute_dtype)
-    box_dist, cls_logits = flatten_maps(
-        [m.astype(compute_dtype) for m in raw_maps], num_classes, reg_max
-    )
+    # flatten in the maps' NATIVE dtype (bf16 on the training path): the
+    # f32 pre-cast made the [B, A, 4*reg_max+nc] concat write f32 — 2x the
+    # HBM traffic of the step's largest activation. Consumers cast at their
+    # reduction points below (numerically identical: same values, cast
+    # before every f32 computation).
+    box_dist, cls_logits = flatten_maps(raw_maps, num_classes, reg_max)
+    cls_logits = cls_logits.astype(compute_dtype)
     # anchor points in pixels for assignment
     anchors_px = anchors * stride_t
 
     pd_scores = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
-    pd_boxes_px = decode_boxes_xyxy(box_dist, anchors, stride_t)  # [B, A, 4] xyxy
+    # ONE shared exp/contract pass gives both the box expectation (CIoU
+    # path) and the DFL log-normalizer (CE path) — see _dfl_expectation_logz
+    ltrb_px, dfl_logz = _dfl_expectation_logz(box_dist)
+    x1y1 = anchors[None] - ltrb_px[..., :2]
+    x2y2 = anchors[None] + ltrb_px[..., 2:]
+    pd_boxes_px = (
+        jnp.concatenate([x1y1, x2y2], axis=-1) * stride_t[None]
+    )  # [B, A, 4] xyxy (decode_boxes_xyxy semantics)
 
     # GT to pixel xyxy
     scale = jnp.asarray([img_w, img_h, img_w, img_h], dtype=compute_dtype)
@@ -213,7 +278,7 @@ def detection_loss(
         ],
         axis=-1,
     )  # [B, A, 4]
-    dfl = _dfl_loss(box_dist, t_ltrb, reg_max).mean(-1)  # [B, A]
+    dfl = _dfl_ce_from_logz(box_dist, dfl_logz, t_ltrb, reg_max).mean(-1)  # [B, A]
     loss_dfl = (dfl * weight).sum() / target_scores_sum
 
     total = box_weight * loss_box + cls_weight * loss_cls + dfl_weight * loss_dfl
