@@ -134,15 +134,20 @@ def task_aligned_assign(
     # --- gather targets via one-hot contractions (mask_pos has at most one
     # true per anchor after conflict resolution) ---
     sel_f = mask_pos.astype(gt_bboxes.dtype)  # [B, M, A]
-    # HIGHEST precision: these contractions are gathers of exact values (box
+    # HIGHEST precision: this contraction is a gather of exact values (box
     # coordinates / one-hot labels); the TPU default would round the f32
-    # inputs to bf16 and corrupt training targets by pixels.
-    target_bboxes = jnp.einsum(
-        "bma,bmc->bac", sel_f, gt_bboxes, precision=jax.lax.Precision.HIGHEST
-    )  # [B, A, 4]
-    label_onehot = jnp.einsum(
-        "bma,bmn->ban", sel_f, gt_cls_onehot, precision=jax.lax.Precision.HIGHEST
-    )  # [B, A, nc]
+    # inputs to bf16 and corrupt training targets by pixels. Boxes and the
+    # label one-hot ride ONE contraction (payload [B, M, 4+nc]) — sel_f is
+    # the dominant operand (550 MB f32 at bs=128/max_gt=128) and two
+    # separate einsums read it twice (r3 profile: 1.6 + 1.3 ms).
+    payload = jnp.concatenate(
+        [gt_bboxes, gt_cls_onehot.astype(gt_bboxes.dtype)], axis=-1
+    )  # [B, M, 4+nc]
+    packed = jnp.einsum(
+        "bma,bmc->bac", sel_f, payload, precision=jax.lax.Precision.HIGHEST
+    )  # [B, A, 4+nc]
+    target_bboxes = packed[..., :4]
+    label_onehot = packed[..., 4:]
     target_labels = jnp.argmax(label_onehot, axis=-1).astype(jnp.int32)  # [B, A]
 
     # --- TAL soft scores: one-hot * normalized metric ---
