@@ -47,10 +47,18 @@ def task_aligned_assign(
     m = gt_bboxes.shape[1]
 
     # --- candidate mask: anchor center strictly inside gt box [B, M, A] ---
-    ap = anchor_points[None, None]  # [1,1,A,2]
-    lt = ap - gt_bboxes[..., None, :2]  # x - x1, y - y1
-    rb = gt_bboxes[..., None, 2:] - ap  # x2 - x, y2 - y
-    in_gts = jnp.minimum(lt.min(-1), rb.min(-1)) > eps  # [B, M, A]
+    # Written as four broadcast compares ANDed on [B, M, A] directly: the
+    # r2 form (lt/rb stacks + .min(-1) over a trailing 2-wide axis) built
+    # [B, M, A, 2] f32 intermediates — 1.1 GB each at bs=128/max_gt=128 and
+    # a lane-hostile trailing axis (3.2 ms of the r3 train profile).
+    ax = anchor_points[None, None, :, 0]  # [1,1,A]
+    ay = anchor_points[None, None, :, 1]
+    in_gts = (
+        (ax - gt_bboxes[..., None, 0] > eps)
+        & (ay - gt_bboxes[..., None, 1] > eps)
+        & (gt_bboxes[..., None, 2] - ax > eps)
+        & (gt_bboxes[..., None, 3] - ay > eps)
+    )  # [B, M, A]
     mask_in = in_gts & mask_gt[..., None]
 
     # --- alignment metric [B, M, A] ---
@@ -104,22 +112,32 @@ def task_aligned_assign(
     # [B*M, A] = [16384, 8400] row count, while XLA fuses the k argmax
     # passes into the surrounding elementwise work.
     k = min(topk, a)
-    remaining = metric
     col = jax.lax.broadcasted_iota(jnp.int32, metric.shape, metric.ndim - 1)
+    neg = jnp.bfloat16(-1.0)
+    picked: list = []
+
+    def masked_metric():
+        # metric with every already-picked position replaced by -1, built as
+        # a chain of j inline wheres that XLA fuses INTO the consuming
+        # reduce. The r2/r3 loop instead wrote the masked tensor back each
+        # iteration — 10 extra [B, M, A] HBM writes (275 MB each at
+        # bs=128/max_gt=128); the compare-against-j-indices form re-reads
+        # only the original metric. O(k^2/2) extra VPU compares, which ride
+        # the memory-bound reduce for free.
+        m_ = metric
+        for p in picked:
+            m_ = jnp.where(col == p[..., None], neg, m_)
+        return m_
+
     for _ in range(k):
-        idx = jnp.argmax(remaining, axis=-1)  # [B, M]
-        remaining = jnp.where(
-            col == idx[..., None], jnp.bfloat16(-1.0), remaining
-        )
-    # `remaining` now encodes the selection directly: metric >= 0 everywhere
-    # (cls^a * iou^b, zeroed outside mask_in), and exactly the k argmax picks
-    # were overwritten with -1 — so picked <=> remaining < 0. The (> eps)
-    # guard drops zero-metric picks (argmax exhausting a row), replacing the
-    # pick-time val_ok bookkeeping: a pick's value at pick time IS its metric
-    # (earlier picks only overwrite their own positions). This avoids the
-    # [B, M, A, k] one-hot rebuild compare-reduce entirely (measured 3.2 ms
-    # of the r3 train profile).
-    sel = (remaining < jnp.bfloat16(0)) & (metric > eps)
+        picked.append(jnp.argmax(masked_metric(), axis=-1))  # [B, M]
+    # The final masked metric encodes the selection directly: metric >= 0
+    # everywhere (cls^a * iou^b, zeroed outside mask_in) and exactly the k
+    # argmax picks read as -1 — so picked <=> masked < 0. The (> eps) guard
+    # drops zero-metric picks (argmax exhausting a row): a pick's value at
+    # pick time IS its metric, since earlier picks only mask their own
+    # positions. No [B, M, A, k] one-hot rebuild pass is ever built.
+    sel = (masked_metric() < jnp.bfloat16(0)) & (metric > eps)
     mask_pos = sel & mask_in
 
     # --- conflict resolution: anchor claimed by multiple gts -> max IoU ---
