@@ -67,7 +67,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from yolo_ms_tpu.data.augment import device_normalize_images
     from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
     from yolo_ms_tpu.models.registry import build_model, init_model
     from yolo_ms_tpu.ops.postprocess import fused_postprocess
@@ -81,12 +81,8 @@ def main() -> None:
         init_model(model, jax.random.PRNGKey(0), (640, 640))
     )
 
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
-    std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
-
     def pipeline(v, images_u8):
-        x = images_u8.astype(jnp.bfloat16) / 255.0
-        x = (x - mean) / std
+        x = device_normalize_images(images_u8, jnp.bfloat16)
         with deploy_mode():
             raw = model.apply(v, x, train=False, split_head=True)
         out = fused_postprocess(raw, NUM_CLASSES)

@@ -53,7 +53,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from yolo_ms_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from yolo_ms_tpu.data.augment import device_normalize_images
     from yolo_ms_tpu.models.decode import decode_predictions
     from yolo_ms_tpu.models.registry import build_model, init_model
     from yolo_ms_tpu.ops.nms import batched_nms
@@ -61,13 +61,10 @@ def main() -> None:
 
     enable_compilation_cache()
     results = {"device": str(jax.devices()[0]), "dtype": "bfloat16"}
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
-    std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
 
     def e2e_fn(model, nc):
         def fn(i, v, images_u8):
-            x = (images_u8 + i.astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
-            x = (x - mean) / std
+            x = device_normalize_images(images_u8 + i.astype(jnp.uint8), jnp.bfloat16)
             raw = model.apply(v, x, train=False)
             preds = decode_predictions(raw, nc)
             out = batched_nms(preds.astype(jnp.float32))
@@ -79,8 +76,7 @@ def main() -> None:
         from yolo_ms_tpu.ops.postprocess import fused_postprocess
 
         def fn(i, v, images_u8):
-            x = (images_u8 + i.astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
-            x = (x - mean) / std
+            x = device_normalize_images(images_u8 + i.astype(jnp.uint8), jnp.bfloat16)
             raw = model.apply(v, x, train=False)
             out = fused_postprocess(raw, nc)
             return out["scores"].sum()
@@ -93,10 +89,9 @@ def main() -> None:
         from yolo_ms_tpu.ops.postprocess import fused_postprocess
 
         def fn(i, v, images_u8):
-            x = (images_u8 + i.astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
-            x = (x - mean) / std
+            x = device_normalize_images(images_u8 + i.astype(jnp.uint8), jnp.bfloat16)
             with deploy_mode():
-                raw = model.apply(v, x, train=False)
+                raw = model.apply(v, x, train=False, split_head=True)
             out = fused_postprocess(raw, nc)
             return out["scores"].sum()
 
