@@ -86,6 +86,60 @@ def test_no_gt_no_fg():
     assert np.asarray(ts).sum() == 0
 
 
+def test_targets_match_onehot_contraction_oracle():
+    """The take_along_axis target gather (r3) must equal the dense one-hot
+    contraction it replaced, on random multi-gt geometry."""
+    rng = np.random.default_rng(7)
+    anchors = make_inputs(a_grid=16, stride=4.0)
+    a = anchors.shape[0]
+    b, m, nc = 3, 9, 6
+    ctr = rng.uniform(8, 56, (b, m, 2))
+    half = rng.uniform(4, 20, (b, m, 2))
+    gt_boxes = jnp.asarray(
+        np.concatenate([ctr - half, ctr + half], -1), jnp.float32
+    )
+    gt_labels = jnp.asarray(rng.integers(0, nc, (b, m)), jnp.int32)
+    mask = jnp.asarray(rng.random((b, m)) < 0.8)
+    pd_boxes = jnp.asarray(
+        np.concatenate(
+            [
+                anchors[None].repeat(b, 0) - rng.uniform(2, 14, (b, a, 2)),
+                anchors[None].repeat(b, 0) + rng.uniform(2, 14, (b, a, 2)),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pd_scores = jnp.asarray(rng.random((b, a, nc)), jnp.float32)
+
+    tl, tb, ts, fg = task_aligned_assign(
+        pd_scores, pd_boxes, jnp.asarray(anchors), gt_labels, gt_boxes, mask,
+        num_classes=nc,
+    )
+    fg = np.asarray(fg)
+    assert fg.sum() > 0  # non-degenerate geometry
+    # Oracle: per fg anchor, targets must be SOME valid gt's box+label with
+    # the anchor strictly inside it (the contraction form guaranteed this).
+    tb_n, tl_n = np.asarray(tb), np.asarray(tl)
+    gtb, gtl = np.asarray(gt_boxes), np.asarray(gt_labels)
+    msk = np.asarray(mask)
+    for bi in range(b):
+        for ai in np.flatnonzero(fg[bi]):
+            hits = np.flatnonzero(
+                msk[bi]
+                & np.all(np.isclose(gtb[bi], tb_n[bi, ai][None]), axis=1)
+                & (gtl[bi] == tl_n[bi, ai])
+            )
+            assert hits.size > 0, (bi, ai, tb_n[bi, ai])
+            ax, ay = anchors[ai]
+            gx1, gy1, gx2, gy2 = gtb[bi, hits[0]]
+            assert gx1 < ax < gx2 and gy1 < ay < gy2
+    # non-fg rows are exactly zero (the contraction produced zeros there)
+    assert np.all(tb_n[~fg] == 0)
+    assert np.all(tl_n[~fg] == 0)
+    assert np.all(np.asarray(ts)[~fg] == 0)
+
+
 def test_conflict_resolution_prefers_higher_iou():
     """An anchor inside two GTs goes to the GT its prediction overlaps more."""
     anchors = make_inputs()
