@@ -125,14 +125,14 @@ class MSNeck(nn.Module):
         dt = self.dtype
         k8, k16, k32 = self.neck_kernels or NECK_KERNELS
 
-        from yolo_ms_tpu.nn.blocks import upsample2x
-
         res_1 = p5
-        x = upsample2x(p5)
-        x = MSFusion(c512, dtype=dt, name="fuse_1")(x, p4, train=train)
+        x = MSFusion(c512, dtype=dt, name="fuse_1")(
+            p5, p4, train=train, upsample_a=True
+        )
         res_2 = _MSStage(c512, k16, depth, dtype=dt, name="stage_1")(x, train=train)
-        x = upsample2x(res_2)
-        x = MSFusion(c256, dtype=dt, name="fuse_2")(x, p3, train=train)
+        x = MSFusion(c256, dtype=dt, name="fuse_2")(
+            res_2, p3, train=train, upsample_a=True
+        )
         out1 = _MSStage(c256, k8, depth, dtype=dt, name="stage_2")(x, train=train)
 
         x = ConvBnSiLU(c256, 3, 2, dtype=dt, name="conv1")(out1, train=train)

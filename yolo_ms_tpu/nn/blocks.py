@@ -62,6 +62,11 @@ class deploy_mode:
         return False
 
 
+def deploy_mode_active() -> bool:
+    """True while tracing under deploy_mode (folded-BN serving structure)."""
+    return _DEPLOY_MODE.get()
+
+
 # BatchNorm constants pinned to the reference (components.py:73).
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97  # flax decay == 1 - torch momentum (0.03)
@@ -82,6 +87,53 @@ def yolo_params(version: str) -> tuple[float, float, float]:
     if version not in table:
         raise ValueError(f"Unknown YOLOv8 version: {version}")
     return table[version]
+
+
+class _UpsampleConcatConv1x1(nn.Module):
+    """1x1 conv over ``concat([upsample2x(a), b])`` that never materializes
+    the upsampled map.
+
+    A 1x1 stride-1 conv commutes with nearest-neighbor upsampling, so the
+    kernel rows belonging to ``a`` can contract at the SMALL resolution (1/4
+    the FLOPs) and only the ``features``-channel result is upsampled —
+    replacing the [B,2H,2W,Ca] broadcast materialization that xprof showed
+    costing 0.52 ms at the v8-n neck's 80x80 site (bs=128). Parameter layout
+    is identical to nn.Conv ('kernel' [1,1,Ca+Cb,F] HWIO + optional 'bias'),
+    so BN-folded deploy checkpoints are interchangeable; callers route here
+    only under deploy_mode (the two partial sums add one bf16 rounding vs
+    the single fused contraction).
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, ca + cb, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), k[:, :, :ca], (1, 1), "VALID",
+            dimension_numbers=dn,
+        )
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), k[:, :, ca:], (1, 1), "VALID",
+            dimension_numbers=dn,
+        )
+        y = upsample2x(ya) + yb
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class _DepthwiseConv(nn.Module):
@@ -140,10 +192,34 @@ class ConvBnSiLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x, *, train: bool = False) -> jax.Array:
         pad = self.kernel_size // 2
         deploy = _DEPLOY_MODE.get()
         assert not (deploy and train), "deploy mode is inference-only"
+        if isinstance(x, tuple):
+            # (a_small, b): conv over concat([upsample2x(a_small), b]) with
+            # the a-rows contracted at the small resolution (exact for a 1x1
+            # stride-1 conv; see _UpsampleConcatConv1x1). Callers use this
+            # form on the deploy serving graph only.
+            assert (
+                self.kernel_size == 1 and self.stride == 1 and self.groups == 1
+            ), "split upsample-concat form requires a plain 1x1 conv"
+            a, b = x
+            x = _UpsampleConcatConv1x1(
+                self.features, use_bias=deploy, dtype=self.dtype, name="conv"
+            )(a, b)
+            if not deploy:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    dtype=self.dtype,
+                    axis_name=None,
+                    name="bn",
+                )(x)
+            if self.act:
+                x = nn.silu(x)
+            return x
         is_depthwise = (
             self.groups == self.features
             and self.groups == x.shape[-1]
@@ -427,7 +503,22 @@ class MSFusion(nn.Module):
 
     @nn.compact
     def __call__(
-        self, a: jax.Array, b: jax.Array, *, train: bool = False
+        self,
+        a: jax.Array,
+        b: jax.Array,
+        *,
+        train: bool = False,
+        upsample_a: bool = False,
     ) -> jax.Array:
+        """With ``upsample_a``, `a` arrives at half resolution and is
+        nearest-2x upsampled before the concat; on the deploy graph the fuse
+        conv instead consumes (a, b) split so the a-rows contract at the
+        small resolution (exact — see _UpsampleConcatConv1x1)."""
+        if upsample_a and _DEPLOY_MODE.get():
+            return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="fuse")(
+                (a, b), train=train
+            )
+        if upsample_a:
+            a = upsample2x(a)
         y = jnp.concatenate([a, b], axis=-1)
         return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="fuse")(y, train=train)
