@@ -22,7 +22,12 @@ import time
 
 
 def scan_time(fn, args, K=10, reps=3):
-    """Median per-iteration seconds of fn folded K times on device."""
+    """Best per-iteration wall seconds of fn folded K times on device.
+
+    Includes 1/K of the fixed per-dispatch cost (~28 ms on this attachment:
+    host sync + tunnel round-trip, benchmarks/k_scaling_probe.py) — i.e.
+    ~+2.8 ms/iter at K=10. Kept for cross-round comparability; use
+    scan_rate for the steady-state number."""
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +46,38 @@ def scan_time(fn, args, K=10, reps=3):
         _ = jax.device_get(loop(*args))
         times.append((time.perf_counter() - t0) / K)
     return min(times)
+
+
+def scan_rate(fn, args, K=10, reps=3):
+    """Steady-state per-iteration seconds: the marginal rate between a K-
+    and a 5K-iteration scan, cancelling the fixed per-dispatch cost that a
+    serving deployment's back-to-back dispatch pipeline amortizes away."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(k):
+        @jax.jit
+        def loop(*a):
+            def body(c, i):
+                return c + fn(i, *a), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+
+        return loop
+
+    lo_f, hi_f = make(K), make(5 * K)
+    _ = jax.device_get(lo_f(*args))
+    _ = jax.device_get(hi_f(*args))
+    lo, hi = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = jax.device_get(lo_f(*args))
+        lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = jax.device_get(hi_f(*args))
+        hi.append(time.perf_counter() - t0)
+    return (min(hi) - min(lo)) / (4 * K)
 
 
 def main() -> None:
@@ -133,6 +170,9 @@ def main() -> None:
         dt_e2e = scan_time(e2e_fn(model, 80), (v, imgs))
         dt_fused = scan_time(e2e_fused_fn(model, 80), (v, imgs))
         dt_deploy = scan_time(e2e_deploy_fn(model, 80), (folded, imgs))
+        # shipped serving config additionally gets the steady-state marginal
+        # rate (per-dispatch overhead cancelled — see scan_rate)
+        dt_deploy_ss = scan_rate(e2e_deploy_fn(model, 80), (folded, imgs))
         inference[f"{arch}_bs{bs}"] = {
             "forward_ms": round(dt_fwd * 1000, 2),
             "forward_img_per_s": round(bs / dt_fwd, 1),
@@ -142,6 +182,8 @@ def main() -> None:
             "e2e_fused_img_per_s": round(bs / dt_fused, 1),
             "e2e_deploy_ms": round(dt_deploy * 1000, 2),
             "e2e_deploy_img_per_s": round(bs / dt_deploy, 1),
+            "e2e_deploy_steady_ms": round(dt_deploy_ss * 1000, 2),
+            "e2e_deploy_steady_img_per_s": round(bs / dt_deploy_ss, 1),
         }
         print(arch, bs, inference[f"{arch}_bs{bs}"], flush=True)
     results["inference"] = inference
