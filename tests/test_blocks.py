@@ -202,6 +202,26 @@ class TestBlocks:
         y = mod.apply(v, x, train=False)
         assert y.shape == (1, 8, 8, 24)
 
+    def test_msblock_dw_isolation_is_identity(self):
+        """The depthwise optimization_barrier (shipped inference default,
+        PERF.md r3) must not change values — only XLA fusion decisions."""
+        from yolo_ms_tpu.nn.blocks import dw_isolation
+
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 8, 8, 16)),
+            jnp.float32,
+        )
+        mod = MSBlock(24, kernel_size=5, num_branches=3)
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        with dw_isolation(0):
+            base = mod.apply(v, x, train=False)
+        with dw_isolation(3, "pre"):
+            pre = mod.apply(v, x, train=False)
+        with dw_isolation(3, "both"):
+            both = mod.apply(v, x, train=False)
+        assert jnp.array_equal(base, pre)
+        assert jnp.array_equal(base, both)
+
 
 def test_yolo_params_table():
     assert yolo_params("n") == (1 / 3, 1 / 4, 2.0)

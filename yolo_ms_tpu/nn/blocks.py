@@ -67,6 +67,46 @@ def deploy_mode_active() -> bool:
     return _DEPLOY_MODE.get()
 
 
+# Depthwise fusion isolation: precede MS depthwise convs whose kernel size
+# is >= this threshold with an optimization_barrier so XLA cannot fuse the
+# 1x1 expand into the grouped-conv emitter (measured pathology — see
+# InvertedBottleneck). 0 disables. Inference graphs only (train fusions
+# differ and were not measured). Shipped default (3, "pre") is the best of
+# the same-session sweep in benchmarks/dw_barrier_probe.py: yolo-ms-xs
+# bs=128 deploy e2e steady-state 32.5 -> 28.6 ms (3,940 -> 4,471 img/s,
+# bit-identical outputs); "both"-sided and higher thresholds all measured
+# worse (30.2 / 29.4 / 29.9 ms).
+_DW_ISOLATE: contextvars.ContextVar[int] = contextvars.ContextVar(
+    "yolo_ms_tpu_dw_isolate", default=3
+)
+# "both" wraps the depthwise on each side; "pre" only breaks the
+# expand->dw fusion and lets project fuse with the dw output.
+_DW_ISOLATE_SIDES: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "yolo_ms_tpu_dw_isolate_sides", default="pre"
+)
+
+
+class dw_isolation:
+    """Context manager: trace MS models with isolated depthwise convs.
+
+    ``min_kernel`` is the smallest depthwise kernel size to isolate
+    (0 = isolate none); ``sides`` is 'both' or 'pre'."""
+
+    def __init__(self, min_kernel: int = 3, sides: str = "both"):
+        self._min_kernel = min_kernel
+        self._sides = sides
+
+    def __enter__(self):
+        self._token = _DW_ISOLATE.set(self._min_kernel)
+        self._token_s = _DW_ISOLATE_SIDES.set(self._sides)
+        return self
+
+    def __exit__(self, *exc):
+        _DW_ISOLATE.reset(self._token)
+        _DW_ISOLATE_SIDES.reset(self._token_s)
+        return False
+
+
 # BatchNorm constants pinned to the reference (components.py:73).
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97  # flax decay == 1 - torch momentum (0.03)
@@ -411,9 +451,19 @@ class InvertedBottleneck(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         hidden = int(self.features * self.expansion)
         y = ConvBnSiLU(hidden, 1, dtype=self.dtype, name="expand")(x, train=train)
+        isolate = (not train) and 0 < _DW_ISOLATE.get() <= self.kernel_size
+        if isolate:
+            # Break the expand->depthwise fusion: XLA fuses the 1x1 expand
+            # into the grouped-conv emitter and the fused op runs ~4-5x
+            # slower than the two ops separately (in-graph 1.0 ms vs 0.25 ms
+            # isolated at k7@[128,40,40,128] — xprof r3 vs dw census;
+            # whole-model A/B in benchmarks/dw_barrier_probe.py).
+            y = jax.lax.optimization_barrier(y)
         y = ConvBnSiLU(
             hidden, self.kernel_size, groups=hidden, dtype=self.dtype, name="dw"
         )(y, train=train)
+        if isolate and _DW_ISOLATE_SIDES.get() == "both":
+            y = jax.lax.optimization_barrier(y)
         y = ConvBnSiLU(self.features, 1, dtype=self.dtype, name="project")(y, train=train)
         return y
 
