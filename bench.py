@@ -117,7 +117,10 @@ def main() -> None:
     # round-trip + scan setup — measured at ~28 ms on this attachment,
     # benchmarks/k_scaling_probe.py, i.e. +2.8 ms/iter of pure harness at
     # K=10) exactly, which is what a serving deployment's back-to-back
-    # dispatch pipeline amortizes away. Both raw walls are reported.
+    # dispatch pipeline amortizes away. Both raw walls are reported; the
+    # metric label says which one "value" is, and if the two-point estimate
+    # is ever non-increasing (a cached/anomalous rep) the K=10 wall is
+    # reported instead, flagged in "detail".
     timed_lo, timed_hi = make_timed(K), make_timed(5 * K)
     _ = jax.device_get(timed_lo(variables, images))  # compile + warmup
     _ = jax.device_get(timed_hi(variables, images))
@@ -130,24 +133,31 @@ def main() -> None:
         t0 = time.perf_counter()
         _ = jax.device_get(timed_hi(variables, images))
         hi.append(time.perf_counter() - t0)
-    per_batch = (min(hi) - min(lo)) / (4 * K)
-    per_batch_k10 = min(lo) / K  # legacy K=10 wall, kept for r1/r2 parity
+    per_batch_k10 = min(lo) / K  # legacy K=10 wall (rounds 1-2 basis)
+    marginal = (min(hi) - min(lo)) / (4 * K)
+    degraded = not (0 < marginal <= per_batch_k10 * 1.5)
+    per_batch = per_batch_k10 if degraded else marginal
+    kind = "K=10 wall (steady-state est. degraded)" if degraded else "steady-state"
     img_per_s = BATCH / per_batch
 
     print(
         json.dumps(
             {
                 "metric": (
-                    f"{ARCH} end-to-end inference throughput "
-                    f"(bs={BATCH}, 640x640, bf16, on-device normalize+decode+NMS)"
+                    f"{ARCH} end-to-end {kind} inference throughput "
+                    f"(bs={BATCH}, 640x640, bf16, on-device normalize+decode"
+                    f"+NMS; per-dispatch harness cost excluded — see PERF.md"
+                    f" 'Harness per-dispatch cost')"
                 ),
                 "value": round(img_per_s, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_s / REFERENCE_CPU_IMG_PER_S, 2),
                 "detail": {
-                    "steady_state_ms_per_batch": round(per_batch * 1e3, 3),
+                    "steady_state_ms_per_batch": round(marginal * 1e3, 3),
                     "k10_wall_ms_per_batch": round(per_batch_k10 * 1e3, 3),
                     "k10_wall_img_per_s": round(BATCH / per_batch_k10, 1),
+                    "k10_wall_was_rounds_1_2_basis": True,
+                    "steady_state_degraded": degraded,
                 },
             }
         )

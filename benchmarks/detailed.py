@@ -77,7 +77,11 @@ def scan_rate(fn, args, K=10, reps=3):
         t0 = time.perf_counter()
         _ = jax.device_get(hi_f(*args))
         hi.append(time.perf_counter() - t0)
-    return (min(hi) - min(lo)) / (4 * K)
+    marginal = (min(hi) - min(lo)) / (4 * K)
+    # guard against a cached/anomalous rep producing a nonsensical estimate
+    if not 0 < marginal <= (min(lo) / K) * 1.5:
+        return min(lo) / K
+    return marginal
 
 
 def main() -> None:
@@ -170,8 +174,9 @@ def main() -> None:
         dt_e2e = scan_time(e2e_fn(model, 80), (v, imgs))
         dt_fused = scan_time(e2e_fused_fn(model, 80), (v, imgs))
         dt_deploy = scan_time(e2e_deploy_fn(model, 80), (folded, imgs))
-        # shipped serving config additionally gets the steady-state marginal
-        # rate (per-dispatch overhead cancelled — see scan_rate)
+        # every row's deploy config also gets the steady-state marginal rate
+        # (per-dispatch overhead cancelled — see scan_rate); costs one extra
+        # compile + a 50-iteration scan per config
         dt_deploy_ss = scan_rate(e2e_deploy_fn(model, 80), (folded, imgs))
         inference[f"{arch}_bs{bs}"] = {
             "forward_ms": round(dt_fwd * 1000, 2),

@@ -239,24 +239,17 @@ class ConvBnSiLU(nn.Module):
         if isinstance(x, tuple):
             # (a_small, b): conv over concat([upsample2x(a_small), b]) with
             # the a-rows contracted at the small resolution (exact for a 1x1
-            # stride-1 conv; see _UpsampleConcatConv1x1). Callers use this
-            # form on the deploy serving graph only.
+            # stride-1 conv; see _UpsampleConcatConv1x1). Deploy-graph-only
+            # calling convention — all callers gate on deploy_mode, so there
+            # is no BN branch here.
+            assert deploy, "split upsample-concat form is deploy-graph only"
             assert (
                 self.kernel_size == 1 and self.stride == 1 and self.groups == 1
             ), "split upsample-concat form requires a plain 1x1 conv"
             a, b = x
             x = _UpsampleConcatConv1x1(
-                self.features, use_bias=deploy, dtype=self.dtype, name="conv"
+                self.features, use_bias=True, dtype=self.dtype, name="conv"
             )(a, b)
-            if not deploy:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=BN_MOMENTUM,
-                    epsilon=BN_EPS,
-                    dtype=self.dtype,
-                    axis_name=None,
-                    name="bn",
-                )(x)
             if self.act:
                 x = nn.silu(x)
             return x
