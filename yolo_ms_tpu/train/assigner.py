@@ -26,6 +26,12 @@ import jax.numpy as jnp
 
 from yolo_ms_tpu.ops.iou import bbox_iou
 
+# Probe-only hook (benchmarks/assigner_barrier_probe.py): isolate the
+# cls-score contraction from its elementwise consumers. Measured 31% WORSE
+# as a default (see the dead-end note at the einsum below) — never enable
+# in production code; read at trace time.
+_PROBE_CLS_DOT_BARRIER = False
+
 
 @partial(jax.jit, static_argnames=("topk", "alpha", "beta", "num_classes"))
 def task_aligned_assign(
@@ -86,6 +92,15 @@ def task_aligned_assign(
         gt_cls_onehot,
         preferred_element_type=jnp.bfloat16,
     )
+    # Measured dead end (r3, benchmarks/assigner_barrier_probe.py): this dot
+    # profiles at only ~5 TFLOP/s fused with the metric pow/where epilogue
+    # (4.4 ms), but an optimization_barrier isolating it made the whole step
+    # 31% SLOWER (116 -> 152 ms at n/bs=128/max_gt=128) — the fusion avoids
+    # materializing + re-reading the 275 MB [B,M,A] intermediate, which is
+    # worth more than a clean MXU emitter. It also keeps f32 dot
+    # accumulations flowing into the metric before the bf16 rounding.
+    if _PROBE_CLS_DOT_BARRIER:
+        cls_scores = jax.lax.optimization_barrier(cls_scores)
     metric = (cls_scores.astype(jnp.float32) ** alpha) * (
         ious.astype(jnp.float32) ** beta
     )
