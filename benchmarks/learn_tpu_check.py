@@ -1,31 +1,29 @@
-"""Slow end-to-end learning test: the full stack must overfit synthetic data.
+"""Run the tests/test_learning.py recipe on the real TPU and print mAP@0.5.
 
-Gated behind YOLO_MS_TPU_SLOW_TESTS=1 (takes minutes). On TPU this exact
-recipe reaches mAP@0.5 = 0.94 in 60 epochs (benchmarks/learn_tpu_check.py,
-re-validated 2026-08-18; r2 recorded 0.957 — up from 0.77 in round 1,
-chiefly the TAL stop_gradient fix: the leaked assignment gradient was ~135x
-the intended signal. Requires true-f32 matmuls: TPU's reduced-precision
-default cost ~0.24 mAP until the Trainer pinned
-jax_default_matmul_precision=highest for float32 configs, PERF.md r3); the
-CI variant uses a smaller budget and a looser bar.
+The pytest variant pins CPU (tests/conftest.py); this standalone runner is
+how the end-to-end learning number on TPU hardware is (re)validated after
+perf changes — r2 recorded 0.957 with this exact recipe.
+
+Usage: python benchmarks/learn_tpu_check.py [arch] [epochs]
 """
 
+from __future__ import annotations
+
 import os
-
-import pytest
-
-pytestmark = pytest.mark.skipif(
-    os.environ.get("YOLO_MS_TPU_SLOW_TESTS") != "1",
-    reason="slow learning test (set YOLO_MS_TPU_SLOW_TESTS=1)",
-)
+import sys
+import tempfile
 
 
-def test_overfits_synthetic_rectangles(tmp_path):
+def main(arch: str = "n", epochs: int = 60) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
     from tests.make_fixtures import make_coco_dataset
     from yolo_ms_tpu.train.trainer import Trainer
     from yolo_ms_tpu.utils.config import Config
 
-    root = str(tmp_path)
+    print(f"device: {jax.devices()[0]}", flush=True)
+    root = tempfile.mkdtemp(prefix="learn_tpu_")
     images_dir, ann = make_coco_dataset(
         root, num_images=32, num_classes=3, img_w=320, img_h=256, seed=1
     )
@@ -40,23 +38,27 @@ def test_overfits_synthetic_rectangles(tmp_path):
                 "max_gt": 8,
             },
             "model": {
-                "architecture": "n",
+                "architecture": arch,
                 "input_size": [160, 160],
                 "compute_dtype": "float32",
             },
             "training": {
                 "batch_size": 16,
-                "epochs": 60,
+                "epochs": epochs,
                 "learning_rate": 2e-3,
                 "optimizer": "adam",
                 "weight_decay": 0.0,
-                "val_interval": 60,
+                "val_interval": epochs,
                 "save_period": 1000,
                 "experiment_name": "learn",
                 "log_dir": os.path.join(root, "runs"),
                 "augmentation": {"fliplr": 0.5},
                 "grad_clip_norm": 10.0,
-                "scheduler": {"type": "cosine", "cosine_t_max": 60, "warmup_steps": 20},
+                "scheduler": {
+                    "type": "cosine",
+                    "cosine_t_max": epochs,
+                    "warmup_steps": 20,
+                },
             },
             "evaluation": {"batch_size": 16, "confidence_threshold": 0.25},
             "workers": 1,
@@ -65,4 +67,9 @@ def test_overfits_synthetic_rectangles(tmp_path):
     trainer = Trainer(cfg, verbose=False)
     trainer.fit()
     final = trainer.validate()
-    assert final > 0.15, f"model failed to learn: mAP@0.5 = {final}"
+    print(f"final mAP@0.5 = {final:.4f} ({arch}, {epochs} epochs, TPU)", flush=True)
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "n", int(a[1]) if len(a) > 1 else 60)
