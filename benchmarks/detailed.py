@@ -211,6 +211,11 @@ def main() -> None:
             ("yolo-ms-xs", 32, 16, 4),
             ("n", 32, 128, 32),
             ("n", 128, 128, 32),
+            # what the Trainer actually dispatches for such a batch with
+            # the default gt_buckets=[32, 64] (Trainer._bucket_gt slices
+            # the padding; exact — tests/test_trainer_unit.py): the
+            # bucketed row is the realistic-COCO-density train rate
+            ("n", 128, 32, 32),
             ("yolo-ms-xs", 32, 128, 32),
         ]
     )

@@ -27,6 +27,9 @@ def tiny_cfg(tmp_path_factory):
                 "val_annotations_path": ann_path,
                 "num_classes": 2,
                 "max_gt": 8,
+                # exercise GT shape bucketing in the real fit loop: the
+                # fixtures carry few boxes, so steps dispatch at [B, 4]
+                "gt_buckets": [4],
             },
             "model": {"architecture": "n", "input_size": [64, 64]},
             "training": {

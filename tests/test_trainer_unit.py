@@ -113,3 +113,79 @@ def test_ema_disabled_stays_none():
     s1, _ = step(state, batch)
     assert s1.ema_params is None
     assert s1.ema_batch_stats is None
+
+
+def test_gt_bucket_slicing_is_exact():
+    """Slicing fully-masked GT padding off the batch must not change the
+    step: the TAL assigner zeroes padded rows via mask_in and every gather
+    rides mask_pos, so a [B, 16]-padded batch with 2 valid GTs produces the
+    same loss/num_fg/updated params as the [B, 4]-bucketed one (the
+    Trainer._bucket_gt contract)."""
+    step, state, batch = make_setup()
+    pad_to = 16
+    b, m = batch["boxes"].shape[:2]
+    wide = {
+        "images": batch["images"],
+        "boxes": jnp.concatenate(
+            [batch["boxes"], jnp.ones((b, pad_to - m, 4)) * 0.25], axis=1
+        ),
+        "labels": jnp.concatenate(
+            [batch["labels"], jnp.ones((b, pad_to - m), jnp.int32)], axis=1
+        ),
+        "mask": jnp.concatenate(
+            [batch["mask"], jnp.zeros((b, pad_to - m), bool)], axis=1
+        ),
+    }
+    s_wide, m_wide = step(state, wide)
+    step2, state2, _ = make_setup()  # fresh state (donation-free reuse)
+    s_slim, m_slim = step2(state2, batch)
+
+    assert int(m_wide["num_fg"]) == int(m_slim["num_fg"])
+    np.testing.assert_allclose(
+        float(m_wide["total_loss"]), float(m_slim["total_loss"]), rtol=1e-5
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_wide.params),
+        jax.tree_util.tree_leaves(s_slim.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_bucket_gt_picks_covering_bucket():
+    """_bucket_gt covers the highest USED slot (non-prefix-safe) and falls
+    back to the full padded width when no bucket covers it."""
+    from types import SimpleNamespace
+
+    from yolo_ms_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    host = {
+        "images": rng.standard_normal((2, 8, 8, 3)).astype(np.float32),
+        "boxes": rng.random((2, 16, 4)).astype(np.float32),
+        "labels": np.zeros((2, 16), np.int32),
+        "mask": np.zeros((2, 16), bool),
+    }
+    self = SimpleNamespace(_gt_buckets=(4, 8))
+
+    # valid slot only at index 5 (non-prefix) -> needs 6 -> bucket 8
+    host["mask"][1, 5] = True
+    out = Trainer._bucket_gt(self, host)
+    assert out["boxes"].shape[1] == 8
+    assert out["mask"][1, 5]
+
+    # slot 9 used -> needs 10 -> no bucket covers -> full width unchanged
+    host["mask"][0, 9] = True
+    out = Trainer._bucket_gt(self, host)
+    assert out["boxes"].shape[1] == 16
+
+    # empty batch -> smallest bucket
+    host["mask"][:] = False
+    out = Trainer._bucket_gt(self, host)
+    assert out["boxes"].shape[1] == 4
+
+    # bucketing disabled -> untouched
+    self.buckets_off = SimpleNamespace(_gt_buckets=())
+    out = Trainer._bucket_gt(self.buckets_off, host)
+    assert out["boxes"].shape[1] == 16

@@ -269,6 +269,15 @@ class Trainer:
         from yolo_ms_tpu.parallel.distributed import is_primary_process
 
         self._primary = is_primary_process()
+        # GT shape buckets (see _bucket_gt). Multi-host runs must execute
+        # the same program on every process; per-process bucket choices
+        # would diverge (each host sees a different local batch), so
+        # bucketing is single-host only.
+        self._gt_buckets: tuple[int, ...] = ()
+        if jax.process_count() == 1:
+            self._gt_buckets = tuple(
+                sorted(b for b in (dcfg.gt_buckets or []) if 0 < b < dcfg.max_gt)
+            )
         self.output_dir = os.path.join(tcfg.log_dir, tcfg.experiment_name)
         if self._primary:
             os.makedirs(self.output_dir, exist_ok=True)
@@ -300,6 +309,36 @@ class Trainer:
             except Exception as e:  # non-strict load (utils.py:45-82)
                 print(f"Error loading pretrained weights: {e}. Training from scratch.")
         return variables
+
+    def _bucket_gt(self, host_batch):
+        """Slice the padded GT tensors to the smallest configured static
+        bucket that covers every valid GT slot in the batch.
+
+        Exact: padding rows are fully masked through the TAL assigner and
+        loss (metric zeroed by mask_in, gathers ride mask_pos), so removing
+        them changes no output — it only removes [B, max_gt, A]-proportional
+        HBM traffic from the assigner, the train step's second-biggest cost
+        after the backward pass (PERF.md). Each bucket is one extra jit
+        specialization of the train step (static shapes — the TPU-idiomatic
+        answer to ragged GT counts). The bucket covers the highest USED slot
+        index (not the count), so non-prefix padding layouts stay correct.
+        Equivalence is asserted in tests/test_trainer_unit.py.
+        """
+        buckets = self._gt_buckets
+        if not buckets:
+            return host_batch
+        mask = np.asarray(host_batch["mask"])
+        used = np.flatnonzero(mask.any(axis=0))
+        needed = int(used[-1]) + 1 if used.size else 1
+        m = next((b for b in buckets if b >= needed), mask.shape[1])
+        if m >= mask.shape[1]:
+            return host_batch
+        return {
+            "images": host_batch["images"],
+            "boxes": host_batch["boxes"][:, :m],
+            "labels": host_batch["labels"][:, :m],
+            "mask": host_batch["mask"][:, :m],
+        }
 
     def _infer_impl(self, params, batch_stats, images):
         images = device_normalize_images(images, self.model.dtype)
@@ -451,6 +490,7 @@ class Trainer:
                 host_batch = {
                     k: batch[k] for k in ("images", "boxes", "labels", "mask")
                 }
+                host_batch = self._bucket_gt(host_batch)
                 self.state, metrics = self._train_step(self.state, host_batch)
                 n_steps += 1
                 step_losses.append(metrics["total_loss"])
