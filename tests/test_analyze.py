@@ -1,0 +1,28 @@
+"""Smoke test for the analyzer CLI (the reference's main.py:20-74 /
+test_model.py:185-302 introspection surface): param audit, staged shapes,
+anchor check, staged==full consistency assert, and the XLA-cost-model
+FLOPs report — all at a small image size so the test stays fast."""
+
+from __future__ import annotations
+
+import re
+
+
+def test_analyze_runs_and_reports(capsys):
+    from yolo_ms_tpu.tools.analyze import analyze
+
+    decoded = analyze("n", num_classes=4, img_size=128)
+    out = capsys.readouterr().out
+
+    assert "Total parameters:" in out
+    # anchor check at 128px: 16^2 + 8^2 + 4^2 = 336
+    assert decoded.shape[1] == 336
+    assert "-> OK" in out
+    assert "Full model == staged pipeline: OK" in out
+
+    # FLOPs line present with a sane magnitude (v8-n at 128px is ~0.2-0.5
+    # GFLOP/image; anything positive and < 10 G passes — the assertion is
+    # about the reporting path, not the cost model's exact number)
+    m = re.search(r"Forward FLOPs \(XLA cost model, 128x128\): ([\d.]+) G", out)
+    assert m, f"FLOPs line missing in:\n{out}"
+    assert 0.0 < float(m.group(1)) < 10.0

@@ -15,7 +15,12 @@ from __future__ import annotations
 import argparse
 
 
-def analyze(version: str, image_path: str | None = None, num_classes: int = 80):
+def analyze(
+    version: str,
+    image_path: str | None = None,
+    num_classes: int = 80,
+    img_size: int = 640,
+):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,11 +30,31 @@ def analyze(version: str, image_path: str | None = None, num_classes: int = 80):
     from yolo_ms_tpu.models.yolo import Backbone, DetectHead, Neck
 
     print(f"\n{'=' * 60}\nYOLOv8-{version.upper()} analysis\n{'=' * 60}")
-    img_size = 640
     model = build_model(version, num_classes=num_classes)
     variables = init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
     total = count_params(variables)
     print(f"Total parameters: {total / 1e6:.2f} million ({total:,})")
+
+    # compiled per-image FLOPs from XLA's cost model (beyond the reference's
+    # param-count-only audit, main.py:28-29): analysis of the jitted
+    # eval-mode forward at the requested size, reported as GFLOPs/image to match the
+    # model-zoo tables (model_zoos.md FLOPs column).
+    try:
+        compiled = (
+            jax.jit(lambda v, x: model.apply(v, x, train=False))
+            .lower(
+                variables,
+                jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32),
+            )
+            .compile()
+        )
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        if flops > 0:
+            print(f"Forward FLOPs (XLA cost model, {img_size}x{img_size}): {flops / 1e9:.2f} G/image")
+    except Exception as e:  # cost model availability varies per backend
+        print(f"Forward FLOPs: unavailable ({type(e).__name__})")
 
     # per-stage parameter audit
     import jax.tree_util as jtu
@@ -47,7 +72,7 @@ def analyze(version: str, image_path: str | None = None, num_classes: int = 80):
         print(f"Input image: {image_path}")
     else:
         x = jax.random.normal(jax.random.PRNGKey(1), (1, img_size, img_size, 3))
-        print("Input: random normal [1, 640, 640, 3]")
+        print(f"Input: random normal [1, {img_size}, {img_size}, 3]")
 
     # staged forward: backbone -> neck -> head
     bb = Backbone(version)
@@ -105,13 +130,14 @@ def main() -> None:
     parser.add_argument("--version", type=str, default="n")
     parser.add_argument("--image", type=str, default=None)
     parser.add_argument("--num_classes", type=int, default=80)
+    parser.add_argument("--img_size", type=int, default=640)
     parser.add_argument(
         "--all", action="store_true", help="Analyze every YOLOv8 version (main.py:76-86)."
     )
     args = parser.parse_args()
     versions = ["n", "s", "m", "l", "x"] if args.all else [args.version]
     for v in versions:
-        analyze(v, args.image, args.num_classes)
+        analyze(v, args.image, args.num_classes, args.img_size)
 
 
 if __name__ == "__main__":
