@@ -26,3 +26,15 @@ def test_analyze_runs_and_reports(capsys):
     m = re.search(r"Forward FLOPs \(XLA cost model, 128x128\): ([\d.]+) G", out)
     assert m, f"FLOPs line missing in:\n{out}"
     assert 0.0 < float(m.group(1)) < 10.0
+
+
+def test_analyze_ms_family(capsys):
+    """The analyzer's staged pipeline must also cover the MS family (QUICKSTART
+    documents `yolo-ms-*` as analyzable architectures)."""
+    from yolo_ms_tpu.tools.analyze import analyze
+
+    decoded = analyze("yolo-ms-xs", num_classes=4, img_size=128)
+    out = capsys.readouterr().out
+    assert "YOLO-MS-XS analysis" in out
+    assert decoded.shape[1] == 336
+    assert "Full model == staged pipeline: OK" in out

@@ -26,10 +26,34 @@ def analyze(
     import numpy as np
 
     from yolo_ms_tpu.models.decode import decode_predictions
-    from yolo_ms_tpu.models.registry import build_model, count_params, init_model
+    from yolo_ms_tpu.models.ms import MSBackbone, MSNeck, YOLOMS
+    from yolo_ms_tpu.models.registry import (
+        MODEL_ZOO,
+        build_model,
+        count_params,
+        init_model,
+    )
     from yolo_ms_tpu.models.yolo import Backbone, DetectHead, Neck
 
-    print(f"\n{'=' * 60}\nYOLOv8-{version.upper()} analysis\n{'=' * 60}")
+    # staged-pipeline classes per family (the MS head reuses the v8
+    # decoupled head at the closest v8 width — models/ms.py YOLOMS)
+    if version.lower() not in MODEL_ZOO:
+        raise ValueError(
+            f"Unknown architecture '{version}'. Available: {sorted(MODEL_ZOO)}"
+        )
+    cls, sub_version = MODEL_ZOO[version.lower()]
+    if cls is YOLOMS:
+        backbone_mod = MSBackbone(sub_version)
+        neck_mod = MSNeck(sub_version)
+        head_version = {"xs": "n", "s": "s", "m": "m"}[sub_version]
+        family = f"YOLO-MS-{sub_version.upper()}"
+    else:
+        backbone_mod = Backbone(sub_version)
+        neck_mod = Neck(sub_version)
+        head_version = sub_version
+        family = f"YOLOv8-{sub_version.upper()}"
+
+    print(f"\n{'=' * 60}\n{family} analysis\n{'=' * 60}")
     model = build_model(version, num_classes=num_classes)
     variables = init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
     total = count_params(variables)
@@ -75,7 +99,7 @@ def analyze(
         print(f"Input: random normal [1, {img_size}, {img_size}, 3]")
 
     # staged forward: backbone -> neck -> head
-    bb = Backbone(version)
+    bb = backbone_mod
     bb_vars = {
         "params": variables["params"]["backbone"],
         "batch_stats": variables["batch_stats"]["backbone"],
@@ -85,7 +109,7 @@ def analyze(
     for name, f in zip(("P3", "P4", "P5"), (p3, p4, p5)):
         print(f"  {name}: {tuple(f.shape)}  mean={float(f.mean()):+.4f} std={float(f.std()):.4f}")
 
-    neck = Neck(version)
+    neck = neck_mod
     neck_vars = {
         "params": variables["params"]["neck"],
         "batch_stats": variables["batch_stats"]["neck"],
@@ -95,7 +119,7 @@ def analyze(
     for name, f in zip(("N1", "N2", "N3"), (n1, n2, n3)):
         print(f"  {name}: {tuple(f.shape)}  mean={float(f.mean()):+.4f} std={float(f.std()):.4f}")
 
-    head = DetectHead(version, num_classes=num_classes)
+    head = DetectHead(head_version, num_classes=num_classes)
     head_vars = {
         "params": variables["params"]["head"],
         "batch_stats": variables["batch_stats"]["head"],
