@@ -28,6 +28,27 @@ def test_analyze_runs_and_reports(capsys):
     assert 0.0 < float(m.group(1)) < 10.0
 
 
+def test_visualize_writes_all_stage_renders(tmp_path):
+    """tools.visualize end-to-end at a small size, MS family included:
+    every per-stage PNG the reference's test_model.py viz produces must be
+    written (runs/visualize_sample/ holds the 640px v8-n set)."""
+    from yolo_ms_tpu.tools.visualize import visualize
+
+    out = visualize(
+        "yolo-ms-xs", None, str(tmp_path / "viz"), num_classes=4, img_size=128
+    )
+    import os
+
+    expected = [
+        "backbone_P3.png", "backbone_P4.png", "backbone_P5.png",
+        "neck_N1.png", "neck_N2.png", "neck_N3.png",
+        "head_histograms.png", "confidence_distribution.png",
+    ]
+    for name in expected:
+        path = os.path.join(out, name)
+        assert os.path.exists(path) and os.path.getsize(path) > 0, name
+
+
 def test_analyze_ms_family(capsys):
     """The analyzer's staged pipeline must also cover the MS family (QUICKSTART
     documents `yolo-ms-*` as analyzable architectures)."""

@@ -21,6 +21,7 @@ def visualize(
     out_dir: str,
     num_classes: int = 80,
     channels_per_stage: int = 16,
+    img_size: int = 640,
 ):
     import matplotlib
 
@@ -31,12 +32,18 @@ def visualize(
     import numpy as np
 
     from yolo_ms_tpu.models.decode import decode_predictions
-    from yolo_ms_tpu.models.registry import build_model, init_model
+    from yolo_ms_tpu.models.ms import MSBackbone, MSNeck, YOLOMS
+    from yolo_ms_tpu.models.registry import MODEL_ZOO, build_model, init_model
     from yolo_ms_tpu.models.yolo import Backbone, Neck
 
     os.makedirs(out_dir, exist_ok=True)
-    img_size = 640
     model = build_model(version, num_classes=num_classes)
+    # staged classes per family (mirrors tools/analyze.py)
+    cls, sub_version = MODEL_ZOO[version.lower()]
+    if cls is YOLOMS:
+        backbone_mod, neck_mod = MSBackbone(sub_version), MSNeck(sub_version)
+    else:
+        backbone_mod, neck_mod = Backbone(sub_version), Neck(sub_version)
     variables = init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
 
     if image_path:
@@ -65,7 +72,7 @@ def visualize(
         fig.savefig(path, dpi=80)
         plt.close(fig)
 
-    bb = Backbone(version)
+    bb = backbone_mod
     bb_vars = {
         "params": variables["params"]["backbone"],
         "batch_stats": variables["batch_stats"]["backbone"],
@@ -75,7 +82,7 @@ def visualize(
         grid_figure(f, f"Backbone {name} {tuple(f.shape)}",
                     os.path.join(out_dir, f"backbone_{name}.png"))
 
-    neck = Neck(version)
+    neck = neck_mod
     neck_vars = {
         "params": variables["params"]["neck"],
         "batch_stats": variables["batch_stats"]["neck"],
@@ -114,8 +121,12 @@ def main() -> None:
     parser.add_argument("--image", type=str, default=None)
     parser.add_argument("--out", type=str, default="runs/viz")
     parser.add_argument("--num_classes", type=int, default=80)
+    parser.add_argument("--img_size", type=int, default=640)
     args = parser.parse_args()
-    visualize(args.version, args.image, args.out, args.num_classes)
+    visualize(
+        args.version, args.image, args.out, args.num_classes,
+        img_size=args.img_size,
+    )
 
 
 if __name__ == "__main__":
