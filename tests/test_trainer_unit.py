@@ -167,7 +167,7 @@ def test_bucket_gt_picks_covering_bucket():
         "labels": np.zeros((2, 16), np.int32),
         "mask": np.zeros((2, 16), bool),
     }
-    self = SimpleNamespace(_gt_buckets=(4, 8))
+    self = SimpleNamespace(_gt_buckets=(4, 8), _seen_buckets=set())
 
     # valid slot only at index 5 (non-prefix) -> needs 6 -> bucket 8
     host["mask"][1, 5] = True
@@ -186,6 +186,6 @@ def test_bucket_gt_picks_covering_bucket():
     assert out["boxes"].shape[1] == 4
 
     # bucketing disabled -> untouched
-    self.buckets_off = SimpleNamespace(_gt_buckets=())
+    self.buckets_off = SimpleNamespace(_gt_buckets=(), _seen_buckets=set())
     out = Trainer._bucket_gt(self.buckets_off, host)
     assert out["boxes"].shape[1] == 16

@@ -274,6 +274,7 @@ class Trainer:
         # would diverge (each host sees a different local batch), so
         # bucketing is single-host only.
         self._gt_buckets: tuple[int, ...] = ()
+        self._seen_buckets: set[int] = set()
         if jax.process_count() == 1:
             self._gt_buckets = tuple(
                 sorted(b for b in (dcfg.gt_buckets or []) if 0 < b < dcfg.max_gt)
@@ -331,6 +332,11 @@ class Trainer:
         used = np.flatnonzero(mask.any(axis=0))
         needed = int(used[-1]) + 1 if used.size else 1
         m = next((b for b in buckets if b >= needed), mask.shape[1])
+        if m not in self._seen_buckets:
+            # each bucket is a fresh XLA specialization of the train step
+            # (minutes on TPU) — say so, or the first such batch looks hung
+            self._seen_buckets.add(m)
+            print(f"  GT bucket {m}: compiling train step specialization")
         if m >= mask.shape[1]:
             return host_batch
         return {
