@@ -36,6 +36,9 @@ def main(arch: str = "n", epochs: int = 60) -> None:
                 "val_annotations_path": ann,
                 "num_classes": 3,
                 "max_gt": 8,
+                # exercise GT shape bucketing (default [32,64] is inert at
+                # max_gt=8): most fixture batches dispatch at [B, 4]
+                "gt_buckets": [4],
             },
             "model": {
                 "architecture": arch,
