@@ -53,6 +53,34 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     )
 
 
+def make_mesh_2d(
+    data: int, spatial: int, devices=None
+) -> Mesh:
+    """2-D (data, spatial) hybrid mesh: batch over 'data', image height
+    over 'spatial' — hybrid DP x SP for high-resolution training where
+    per-chip activation memory (not batch size) is the constraint. The
+    train step needs NO changes: GSPMD inserts conv halo exchanges along
+    the spatial axis and the gradient/BN reductions span both axes
+    (equivalence vs pure DP is asserted in tests/test_spatial_sharding.py).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < data * spatial:
+        raise ValueError(
+            f"need {data * spatial} devices for a {data}x{spatial} mesh, "
+            f"have {len(devices)}"
+        )
+    arr = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] images sharded batch-over-'data' and height-over-
+    'spatial' (use with make_mesh_2d; GT tensors shard with
+    batch_sharding(mesh) — their leading dim is the batch)."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the image HEIGHT dimension of an NHWC batch over the mesh.
 
