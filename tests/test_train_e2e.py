@@ -116,3 +116,25 @@ def test_missing_checkpoint_raises(tiny_cfg, tmp_path):
     cfg.save(cfg_path)
     with pytest.raises(FileNotFoundError):
         run(cfg_path, "/nonexistent.ckpt", images_dir, str(tmp_path / "x"))
+
+
+def test_trainer_fit_hybrid_spatial_mesh(tiny_cfg):
+    """parallel.spatial=2 trains over a 2-D (data, spatial) mesh through the
+    real Trainer: 8 virtual devices become a 4x2 mesh, images shard
+    [B@data, H@spatial], and fit/validate run end to end."""
+    import numpy as np
+
+    from yolo_ms_tpu.train.trainer import Trainer
+    from yolo_ms_tpu.utils.config import Config
+
+    cfg, root, images_dir = tiny_cfg
+    d = cfg.to_dict()
+    d["parallel"] = {"spatial": 2}
+    d["training"] = dict(d["training"], epochs=1, experiment_name="t_sp")
+    cfg2 = Config.from_dict(d)
+    trainer = Trainer(cfg2, verbose=False)
+    assert trainer.mesh.devices.shape == (4, 2)
+    trainer.fit()
+    assert int(trainer.state.step) == 1
+    m = trainer.validate()
+    assert np.isfinite(m) or np.isnan(m)

@@ -40,7 +40,13 @@ from yolo_ms_tpu.eval.coco_map import MeanAveragePrecision
 from yolo_ms_tpu.models.registry import build_model, init_model
 from yolo_ms_tpu.ops.iou import xywh_to_xyxy
 from yolo_ms_tpu.ops.postprocess import fused_postprocess
-from yolo_ms_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from yolo_ms_tpu.parallel.mesh import (
+    batch_sharding,
+    hybrid_batch_sharding,
+    make_mesh,
+    make_mesh_2d,
+    replicated_sharding,
+)
 from yolo_ms_tpu.train.loss import DetectionLoss
 from yolo_ms_tpu.train.optim import build_optimizer
 from yolo_ms_tpu.utils.checkpoint import CheckpointManager, load_torch_checkpoint, restore_checkpoint
@@ -221,7 +227,27 @@ class Trainer:
         )
 
         # --- mesh + shardings ---
-        self.mesh = make_mesh()
+        # parallel.spatial > 1: hybrid DP x SP — batch over 'data', image
+        # height over 'spatial' (high-res training where per-chip activation
+        # memory binds; equivalence vs pure DP in tests/test_spatial_sharding.py)
+        spatial = max(1, int(cfg.parallel.spatial))
+        if spatial > 1:
+            n_dev = len(jax.devices())
+            if n_dev % spatial:
+                raise ValueError(
+                    f"parallel.spatial={spatial} must divide the device "
+                    f"count ({n_dev})"
+                )
+            if self.img_size[0] % spatial:
+                raise ValueError(
+                    f"parallel.spatial={spatial} must divide the image "
+                    f"height ({self.img_size[0]})"
+                )
+            self.mesh = make_mesh_2d(n_dev // spatial, spatial)
+            image_sh = hybrid_batch_sharding(self.mesh)
+        else:
+            self.mesh = make_mesh()
+            image_sh = None
         self.repl = replicated_sharding(self.mesh)
         self.data_sh = batch_sharding(self.mesh)
 
@@ -229,7 +255,7 @@ class Trainer:
             self.model, self.loss_fn, self.tx, ema_decay=tcfg.ema_decay
         )
         batch_shardings = {
-            "images": self.data_sh,
+            "images": image_sh or self.data_sh,
             "boxes": self.data_sh,
             "labels": self.data_sh,
             "mask": self.data_sh,

@@ -157,6 +157,19 @@ class LossConfig:
 
 
 @dataclass
+class ParallelConfig:
+    """Mesh layout. spatial > 1 trains over a 2-D (data, spatial) mesh:
+    batch over 'data', image height over 'spatial' — hybrid DP x SP for
+    high-resolution inputs where per-chip activation memory binds
+    (parallel/mesh.py:make_mesh_2d; equivalence vs pure DP tested in
+    tests/test_spatial_sharding.py). Device count must be divisible by
+    spatial; image height must be divisible by spatial."""
+
+    spatial: int = 1
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
 class Config:
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
@@ -164,6 +177,7 @@ class Config:
     evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
     testing: TestingConfig = field(default_factory=TestingConfig)
     loss: LossConfig = field(default_factory=LossConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
     device: str = "tpu"
     workers: int = 4
     extra: dict = field(default_factory=dict)
@@ -184,6 +198,7 @@ class Config:
             evaluation=_build(EvaluationConfig, d.get("evaluation")),
             testing=_build(TestingConfig, d.get("testing")),
             loss=_build(LossConfig, d.get("loss")),
+            parallel=_build(ParallelConfig, d.get("parallel")),
             device=d.get("device", "tpu"),
             workers=d.get("workers", 4),
         )
@@ -198,6 +213,7 @@ class Config:
                 "evaluation",
                 "testing",
                 "loss",
+                "parallel",
                 "device",
                 "workers",
             )
