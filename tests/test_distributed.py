@@ -44,6 +44,14 @@ total = jax.jit(
 )(garr)
 # fetching a fully-replicated scalar is process-local
 assert float(total) == (1.0 + 2.0) * n_local * 4, float(total)
+
+# GT-bucket consensus: hosts with different local GT occupancy must agree
+# on the max so every process picks the SAME train-step specialization
+# (Trainer._bucket_gt); here pid 0 needs 7 slots, pid 1 needs 33.
+from yolo_ms_tpu.parallel.distributed import global_max_int
+
+agreed = global_max_int(7 if pid == 0 else 33)
+assert agreed == 33, f"bucket consensus returned {agreed}, want 33"
 print(f"WORKER_OK {pid}", flush=True)
 """
 

@@ -73,6 +73,28 @@ def is_primary_process() -> bool:
         return True
 
 
+def global_max_int(value: int) -> int:
+    """Agree on ``max(value)`` across all processes (single-host: identity).
+
+    For per-batch decisions that must be uniform across hosts — e.g. which
+    GT-bucket jit specialization of the train step to run (`Trainer._bucket_gt`)
+    — every process must execute the same XLA program or its collectives
+    deadlock. Each host computes its local value, then this does ONE tiny
+    allgather (DCN on a pod) outside jit and takes the max. Cost is a
+    sub-millisecond roundtrip per call, negligible against a ~100 ms train
+    step; only called when the caller's feature is enabled.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return int(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.int32(value))
+    return int(np.max(gathered))
+
+
 def process_info() -> dict:
     import jax
 

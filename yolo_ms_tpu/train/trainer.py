@@ -297,14 +297,13 @@ class Trainer:
         self._primary = is_primary_process()
         # GT shape buckets (see _bucket_gt). Multi-host runs must execute
         # the same program on every process; per-process bucket choices
-        # would diverge (each host sees a different local batch), so
-        # bucketing is single-host only.
-        self._gt_buckets: tuple[int, ...] = ()
+        # would diverge (each host sees a different local batch), so on
+        # pods the bucket is agreed via one tiny cross-host max collective
+        # per batch (parallel.distributed.global_max_int).
+        self._gt_buckets: tuple[int, ...] = tuple(
+            sorted(b for b in (dcfg.gt_buckets or []) if 0 < b < dcfg.max_gt)
+        )
         self._seen_buckets: set[int] = set()
-        if jax.process_count() == 1:
-            self._gt_buckets = tuple(
-                sorted(b for b in (dcfg.gt_buckets or []) if 0 < b < dcfg.max_gt)
-            )
         self.output_dir = os.path.join(tcfg.log_dir, tcfg.experiment_name)
         if self._primary:
             os.makedirs(self.output_dir, exist_ok=True)
@@ -357,6 +356,13 @@ class Trainer:
         mask = np.asarray(host_batch["mask"])
         used = np.flatnonzero(mask.any(axis=0))
         needed = int(used[-1]) + 1 if used.size else 1
+        if jax.process_count() > 1:
+            # every host must pick the SAME jit specialization (same XLA
+            # program) or the step's collectives deadlock — agree on the
+            # max needed slot across hosts with one tiny DCN collective
+            from yolo_ms_tpu.parallel.distributed import global_max_int
+
+            needed = global_max_int(needed)
         m = next((b for b in buckets if b >= needed), mask.shape[1])
         if m not in self._seen_buckets:
             # each bucket is a fresh XLA specialization of the train step
