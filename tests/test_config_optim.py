@@ -167,6 +167,50 @@ class TestOptim:
         np.testing.assert_allclose(np.asarray(new["backbone"]["w"]), 1.0)
         assert float(new["head"]["w"][0]) != 1.0
 
+    def test_grad_accumulation_applies_mean_every_k(self):
+        """grad_accum_steps=k: no update for k-1 micro-steps, then one SGD
+        step on the mean of the k micro-batch gradients (effective batch =
+        k*batch_size)."""
+        from yolo_ms_tpu.utils.config import SchedulerConfig, TrainingConfig
+
+        tc = TrainingConfig(
+            optimizer="sgd", learning_rate=0.1, weight_decay=0.0,
+            sgd_momentum=0.0, grad_accum_steps=2,
+            scheduler=SchedulerConfig(type="none"),
+        )
+        params = {"backbone": {"w": jnp.ones((4,))}, "head": {"w": jnp.ones((4,))}}
+        tx, _ = build_optimizer(tc, 1, params=params)
+        state = tx.init(params)
+        g1 = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 2.0), params)
+        g2 = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 4.0), params)
+        updates, state = tx.update(g1, state, params)
+        mid = optax.apply_updates(params, updates)
+        # micro-step 1 of 2: parameters must not move yet
+        np.testing.assert_allclose(np.asarray(mid["head"]["w"]), 1.0)
+        updates, state = tx.update(g2, state, mid)
+        new = optax.apply_updates(mid, updates)
+        # one step on mean(2, 4) = 3 at lr 0.1
+        np.testing.assert_allclose(np.asarray(new["head"]["w"]), 1.0 - 0.3, rtol=1e-6)
+
+    def test_grad_accumulation_composes_with_freeze(self):
+        from yolo_ms_tpu.utils.config import SchedulerConfig, TrainingConfig
+
+        tc = TrainingConfig(
+            optimizer="sgd", learning_rate=0.1, weight_decay=0.0,
+            sgd_momentum=0.0, grad_accum_steps=2, freeze_layers=["backbone"],
+            scheduler=SchedulerConfig(type="none"),
+        )
+        params = {"backbone": {"w": jnp.ones((4,))}, "head": {"w": jnp.ones((4,))}}
+        tx, _ = build_optimizer(tc, 1, params=params)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        new = params
+        for _ in range(2):
+            updates, state = tx.update(grads, state, new)
+            new = optax.apply_updates(new, updates)
+        np.testing.assert_allclose(np.asarray(new["backbone"]["w"]), 1.0)
+        assert float(new["head"]["w"][0]) != 1.0
+
     def test_adam_l2_matches_torch_semantics(self):
         """weight_decay adds wd*param to the gradient (torch Adam, not AdamW)."""
         from yolo_ms_tpu.utils.config import TrainingConfig, SchedulerConfig

@@ -109,4 +109,12 @@ def build_optimizer(
             {"train": tx, "frozen": optax.set_to_zero()},
             jax.tree_util.tree_map(lambda t: "train" if t else "frozen", mask),
         )
+    accum = getattr(cfg, "grad_accum_steps", 1) or 1
+    if accum > 1:
+        # Gradient accumulation: the wrapped transform averages gradients
+        # over k consecutive train-step calls and applies the inner update
+        # (incl. the LR schedule's step count) once per k — effective batch
+        # k*batch_size for configs whose real batch doesn't fit HBM. Wrapped
+        # OUTSIDE the freeze mask so frozen params stay zero every step.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum).gradient_transformation()
     return tx, sched

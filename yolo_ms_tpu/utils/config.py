@@ -120,6 +120,10 @@ class TrainingConfig:
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     grad_clip_norm: float = 0.0  # 0 disables
     ema_decay: float = 0.0  # e.g. 0.9999; 0 disables weight EMA
+    # Gradient accumulation: apply the optimizer every k train steps on the
+    # mean of the k micro-batch gradients (effective batch = k*batch_size
+    # when a batch doesn't fit HBM). 0/1 disables.
+    grad_accum_steps: int = 1
     extra: dict = field(default_factory=dict)
 
 
