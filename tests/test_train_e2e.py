@@ -138,3 +138,25 @@ def test_trainer_fit_hybrid_spatial_mesh(tiny_cfg):
     assert int(trainer.state.step) == 1
     m = trainer.validate()
     assert np.isfinite(m) or np.isnan(m)
+
+
+def test_trainer_fit_with_grad_accumulation(tiny_cfg):
+    """training.grad_accum_steps=2 through the real Trainer fit loop: the
+    1-step epoch is a micro-step (params unchanged until the 2nd), and the
+    LR log indexes the schedule by applied steps."""
+    from yolo_ms_tpu.train.trainer import Trainer
+    from yolo_ms_tpu.utils.config import Config
+
+    cfg, root, images_dir = tiny_cfg
+    d = cfg.to_dict()
+    d["training"] = dict(
+        d["training"], epochs=2, grad_accum_steps=2, experiment_name="t_ga"
+    )
+    cfg2 = Config.from_dict(d)
+    trainer = Trainer(cfg2, verbose=False)
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    trainer.fit()
+    # 2 epochs x 1 loader step = 2 micro-steps = exactly ONE applied update
+    assert int(trainer.state.step) == 2
+    p2 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    assert np.any(p0 != p2)

@@ -222,8 +222,11 @@ class Trainer:
         self.batch_stats = variables["batch_stats"]
 
         steps_per_epoch = len(self.train_loader) if self.train_loader else 1
+        # With gradient accumulation the schedule sees one step per APPLIED
+        # optimizer update, so per-epoch boundaries shrink by the factor.
+        accum = max(1, getattr(tcfg, "grad_accum_steps", 1) or 1)
         self.tx, self.lr_schedule = build_optimizer(
-            tcfg, steps_per_epoch, params=self.params
+            tcfg, max(1, steps_per_epoch // accum), params=self.params
         )
 
         # --- mesh + shardings ---
@@ -511,7 +514,10 @@ class Trainer:
         for epoch in range(self.start_epoch, tcfg.epochs):
             self._current_epoch = epoch
             t0 = time.time()
-            lr = float(self.lr_schedule(int(self.state.step)))
+            # state.step counts train-step calls; with gradient accumulation
+            # the schedule advances once per APPLIED optimizer step
+            accum = max(1, getattr(tcfg, "grad_accum_steps", 1) or 1)
+            lr = float(self.lr_schedule(int(self.state.step) // accum))
             self.logger.scalar("Training/Learning_Rate", lr, epoch)
             # Per-step losses kept as device scalars (no sync — dispatch
             # stays pipelined); one device_get at epoch end gives the TRUE
