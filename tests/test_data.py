@@ -184,6 +184,48 @@ class TestLoader:
         other = [b["images"] for b in loader.epoch(4)]
         assert not np.array_equal(run1[0], other[0])
 
+    def test_multiscale_sizes_deterministic_and_resumable(self, coco_dir):
+        """Multi-scale training: per-block square sizes from the configured
+        set, identical across re-runs (multi-host consistency comes from the
+        same (seed, epoch, block)-keyed draw) and across mid-epoch resume."""
+        images_dir, ann_path = coco_dir
+        ds = CocoDetectionDataset(images_dir, ann_path, num_classes=3, verbose=False)
+        loader = DetectionLoader(
+            ds, batch_size=2, img_size=(64, 64), max_gt=8, is_train=True,
+            augmentation={}, num_workers=1,
+            multiscale_sizes=[32, 64, 96], multiscale_interval=2,
+        )
+        sizes1 = [b["images"].shape[1:3] for b in loader.epoch(0)]
+        sizes2 = [b["images"].shape[1:3] for b in loader.epoch(0)]
+        assert sizes1 == sizes2
+        for h, w in sizes1:
+            assert h == w and h in (32, 64, 96)
+        # blocks of multiscale_interval batches share one size
+        for i in range(0, len(sizes1) - 1, 2):
+            assert sizes1[i] == sizes1[i + 1]
+        # boxes stay normalized regardless of canvas size
+        for b in loader.epoch(0):
+            valid = b["boxes"][b["mask"]]
+            if len(valid):
+                assert valid.min() >= 0.0 and valid.max() <= 1.0
+        # resume re-derives the same absolute-index sizes
+        tail = [b["images"].shape[1:3] for b in loader.epoch(0, start_step=1)]
+        assert tail == sizes1[1:]
+        # several epochs hit more than one size overall
+        all_sizes = {h for h, _ in sizes1}
+        for e in range(1, 4):
+            all_sizes |= {b["images"].shape[1] for b in loader.epoch(e)}
+        assert len(all_sizes) > 1
+
+    def test_multiscale_rejects_non_stride32(self, coco_dir):
+        images_dir, ann_path = coco_dir
+        ds = CocoDetectionDataset(images_dir, ann_path, num_classes=3, verbose=False)
+        with pytest.raises(ValueError):
+            DetectionLoader(
+                ds, batch_size=2, img_size=(64, 64), is_train=True,
+                multiscale_sizes=[48],
+            )
+
     def test_val_loader_keeps_short_batch(self, coco_dir):
         images_dir, ann_path = coco_dir
         ds = CocoDetectionDataset(images_dir, ann_path, num_classes=3, verbose=False)

@@ -140,6 +140,28 @@ def test_trainer_fit_hybrid_spatial_mesh(tiny_cfg):
     assert np.isfinite(m) or np.isnan(m)
 
 
+def test_trainer_fit_multiscale(tiny_cfg):
+    """training.multiscale_sizes through the real Trainer: train batches
+    arrive at a DIFFERENT canvas than model.input_size (one fresh jit
+    specialization, loss derives anchors from the map shapes), while
+    validation stays at the configured eval size."""
+    from yolo_ms_tpu.train.trainer import Trainer
+    from yolo_ms_tpu.utils.config import Config
+
+    cfg, root, images_dir = tiny_cfg
+    d = cfg.to_dict()
+    d["training"] = dict(
+        d["training"], epochs=1, multiscale_sizes=[32],
+        multiscale_interval=1, experiment_name="t_ms",
+    )
+    cfg2 = Config.from_dict(d)
+    trainer = Trainer(cfg2, verbose=False)
+    trainer.fit()
+    assert int(trainer.state.step) == 1
+    m = trainer.validate()
+    assert np.isfinite(m) or np.isnan(m)
+
+
 def test_trainer_fit_with_grad_accumulation(tiny_cfg):
     """training.grad_accum_steps=2 through the real Trainer fit loop: the
     1-step epoch is a micro-step (params unchanged until the 2nd), and the

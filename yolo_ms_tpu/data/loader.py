@@ -52,6 +52,8 @@ class DetectionLoader:
         prefetch: int = 4,
         drop_last: bool | None = None,
         device_normalize: bool = False,
+        multiscale_sizes: list[int] | None = None,
+        multiscale_interval: int = 10,
     ):
         # device_normalize=True emits raw uint8 pixels (the whole augment
         # pipeline is uint8 end-to-end); the consumer normalizes on device.
@@ -75,6 +77,22 @@ class DetectionLoader:
             if is_train
             else EvalTransform(img_size)
         )
+        # Multi-scale training: square sizes sampled once per block of
+        # multiscale_interval batches (train only). Deterministic in
+        # (seed, epoch, block): every data-parallel host computes the same
+        # size with NO collective, and mid-epoch resume re-derives it.
+        # Each size is one extra jit specialization of the train step —
+        # the same static-shape-bucket pattern as dataset.gt_buckets.
+        self.multiscale_sizes: tuple[int, ...] = tuple(
+            int(s) for s in (multiscale_sizes or []) if is_train
+        )
+        for s in self.multiscale_sizes:
+            if s % 32:
+                raise ValueError(
+                    f"multiscale size {s} is not a stride-32 multiple"
+                )
+        self.multiscale_interval = max(1, int(multiscale_interval))
+        self._ms_transforms: dict[tuple[int, int], TrainAugment] = {}
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -88,14 +106,37 @@ class DetectionLoader:
         img, boxes_xywh, labels = self.ds[idx]
         return img, coco_to_xyxy(boxes_xywh), labels
 
-    def _make_sample(self, epoch: int, idx: int, order: np.ndarray):
-        """One fully-augmented, resized, normalized sample."""
+    def _hw_for_batch(self, epoch: int, batch_idx: int) -> tuple[int, int]:
+        """(H, W) canvas for one batch: the fixed img_size, or — under
+        multi-scale training — a square size drawn per interval block,
+        deterministic in (seed, epoch, block)."""
+        if not self.multiscale_sizes:
+            return (self.img_h, self.img_w)
+        block = batch_idx // self.multiscale_interval
+        rng = np.random.default_rng((self.seed, epoch, 0x5CA1E, block))
+        s = self.multiscale_sizes[int(rng.integers(len(self.multiscale_sizes)))]
+        return (s, s)
+
+    def _transform_for(self, hw: tuple[int, int]):
+        if hw == (self.img_h, self.img_w):
+            return self.transform
+        t = self._ms_transforms.get(hw)
+        if t is None:
+            t = TrainAugment(self.aug_params, hw)
+            self._ms_transforms[hw] = t
+        return t
+
+    def _make_sample(
+        self, epoch: int, idx: int, order: np.ndarray, hw: tuple[int, int]
+    ):
+        """One fully-augmented, resized, normalized sample on an hw canvas."""
+        h, w = hw
         rng = np.random.default_rng((self.seed, epoch, int(idx)))
         ds_idx = int(order[idx])
         if self.is_train and self.mosaic_p > 0 and rng.uniform() < self.mosaic_p:
             picks = [ds_idx] + [int(rng.integers(len(self.ds))) for _ in range(3)]
             samples = [self._load_xyxy(i) for i in picks]
-            img, boxes, labels = mosaic4(samples, rng, max(self.img_h, self.img_w))
+            img, boxes, labels = mosaic4(samples, rng, max(h, w))
         else:
             img, boxes, labels = self._load_xyxy(ds_idx)
         if self.is_train and self.mixup_p > 0 and rng.uniform() < self.mixup_p:
@@ -104,22 +145,24 @@ class DetectionLoader:
             # bring both to a common canvas first
             from yolo_ms_tpu.data.augment import resize_linear
 
-            img, boxes = resize_linear(img, boxes, self.img_h, self.img_w)
-            img2, boxes2 = resize_linear(img2, boxes2, self.img_h, self.img_w)
+            img, boxes = resize_linear(img, boxes, h, w)
+            img2, boxes2 = resize_linear(img2, boxes2, h, w)
             img, boxes, labels = mixup(img, boxes, labels, img2, boxes2, labels2, rng)
-        img, boxes, labels = self.transform(img, boxes, labels, rng)
+        img, boxes, labels = self._transform_for(hw)(img, boxes, labels, rng)
         if self.device_normalize:
             return img, boxes, labels  # uint8; consumer normalizes on device
         return normalize_imagenet(img), boxes, labels
 
-    def _pad_targets(self, boxes_xyxy: np.ndarray, labels: np.ndarray):
+    def _pad_targets(
+        self, boxes_xyxy: np.ndarray, labels: np.ndarray, hw: tuple[int, int]
+    ):
         m = self.max_gt
         out_b = np.zeros((m, 4), np.float32)
         out_l = np.zeros((m,), np.int32)
         out_m = np.zeros((m,), bool)
         n = min(len(boxes_xyxy), m)
         if n:
-            norm = xyxy_to_norm_cxcywh(boxes_xyxy[:n], self.img_w, self.img_h)
+            norm = xyxy_to_norm_cxcywh(boxes_xyxy[:n], hw[1], hw[0])
             out_b[:n] = norm
             out_l[:n] = labels[:n]
             out_m[:n] = True
@@ -160,7 +203,7 @@ class DetectionLoader:
                 np.float32,
             )
             boxes, labels = _filter_boxes(boxes, labels=s.labels, w=self.img_w, h=self.img_h)
-            b, l, m = self._pad_targets(boxes, labels)
+            b, l, m = self._pad_targets(boxes, labels, (self.img_h, self.img_w))
             bs.append(b)
             ls.append(l)
             ms.append(m)
@@ -203,7 +246,13 @@ class DetectionLoader:
         `start_step` resumes mid-epoch (deterministic data checkpointing).
         """
         order = self._epoch_order(epoch)
-        batches = self._batch_indices(epoch)[start_step:]
+        all_batches = self._batch_indices(epoch)
+        # (batch, absolute index) pairs: multi-scale size selection keys on
+        # the ABSOLUTE batch index so mid-epoch resume re-derives the same
+        # per-batch canvas sizes.
+        batches = [
+            (b, i) for i, b in enumerate(all_batches) if i >= start_step
+        ]
         if not batches:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -217,11 +266,12 @@ class DetectionLoader:
 
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
-        def one_sample(i):
-            img, boxes, labels = self._make_sample(epoch, i, order)
-            return (img,) + self._pad_targets(boxes, labels)
+        def one_sample(i, hw):
+            img, boxes, labels = self._make_sample(epoch, i, order, hw)
+            return (img,) + self._pad_targets(boxes, labels, hw)
 
-        def produce(batch_ids):
+        def produce(batch_ids, batch_idx):
+            hw = self._hw_for_batch(epoch, batch_idx)
             if not self.is_train:
                 fast = self._produce_native_eval(batch_ids, order)
                 if fast is not None:
@@ -229,9 +279,9 @@ class DetectionLoader:
                     return self._finish_batch(list(imgs_arr), bs, ls, ms)
             imgs, bs, ls, ms = [], [], [], []
             if self.num_workers > 1:
-                results = list(pool.map(one_sample, batch_ids))
+                results = list(pool.map(lambda i: one_sample(i, hw), batch_ids))
             else:
-                results = [one_sample(i) for i in batch_ids]
+                results = [one_sample(i, hw) for i in batch_ids]
             for img, b, l, m in results:
                 imgs.append(img)
                 bs.append(b)
@@ -240,10 +290,10 @@ class DetectionLoader:
             return self._finish_batch(imgs, bs, ls, ms)
         def worker():
             try:
-                for batch_ids in batches:
+                for batch_ids, batch_idx in batches:
                     if stop.is_set():
                         break
-                    q.put(produce(list(batch_ids)))
+                    q.put(produce(list(batch_ids), batch_idx))
             finally:
                 q.put(None)
 

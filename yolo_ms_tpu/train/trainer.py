@@ -194,6 +194,8 @@ class Trainer:
                 seed=tcfg.seed,
                 num_workers=cfg.workers,
                 device_normalize=True,
+                multiscale_sizes=getattr(tcfg, "multiscale_sizes", None),
+                multiscale_interval=getattr(tcfg, "multiscale_interval", 10),
             )
         if dcfg.val_annotations_path:
             val_ds = CocoDetectionDataset(
@@ -246,6 +248,12 @@ class Trainer:
                     f"parallel.spatial={spatial} must divide the image "
                     f"height ({self.img_size[0]})"
                 )
+            for s in getattr(tcfg, "multiscale_sizes", None) or []:
+                if int(s) % spatial:
+                    raise ValueError(
+                        f"parallel.spatial={spatial} must divide every "
+                        f"multiscale size (got {s})"
+                    )
             self.mesh = make_mesh_2d(n_dev // spatial, spatial)
             image_sh = hybrid_batch_sharding(self.mesh)
         else:

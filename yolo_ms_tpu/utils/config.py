@@ -124,6 +124,13 @@ class TrainingConfig:
     # mean of the k micro-batch gradients (effective batch = k*batch_size
     # when a batch doesn't fit HBM). 0/1 disables.
     grad_accum_steps: int = 1
+    # Multi-scale training: square input sizes (stride-32 multiples) sampled
+    # per block of multiscale_interval batches, deterministic in
+    # (seed, epoch, block) so every host picks the same size and resume is
+    # exact. One jit specialization per size. Empty disables (fixed
+    # model.input_size).
+    multiscale_sizes: list[int] = field(default_factory=list)
+    multiscale_interval: int = 10
     extra: dict = field(default_factory=dict)
 
 
