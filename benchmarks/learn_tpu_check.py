@@ -67,6 +67,13 @@ def main(arch: str = "n", epochs: int = 60) -> None:
             "workers": 1,
         }
     )
+    # LEARN_MULTISCALE=1: same recipe with multi-scale training (canvas
+    # 128/160/192 per 2-batch block) — the accuracy gate for the
+    # training.multiscale_sizes feature.
+    if os.environ.get("LEARN_MULTISCALE") == "1":
+        cfg.training.multiscale_sizes = [128, 160, 192]
+        cfg.training.multiscale_interval = 2
+        print("multiscale: [128, 160, 192] / interval 2", flush=True)
     trainer = Trainer(cfg, verbose=False)
     trainer.fit()
     final = trainer.validate()
