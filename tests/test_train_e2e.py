@@ -162,6 +162,24 @@ def test_trainer_fit_multiscale(tiny_cfg):
     assert np.isfinite(m) or np.isnan(m)
 
 
+def test_validate_coco_thresholds(tiny_cfg):
+    """evaluation.map_iou_thresholds="coco" computes AP@[.50:.05:.95] while
+    the returned best-model metric stays mAP@0.5 (reference parity)."""
+    from yolo_ms_tpu.train.trainer import Trainer
+    from yolo_ms_tpu.utils.config import Config
+
+    cfg, root, _ = tiny_cfg
+    d = cfg.to_dict()
+    d["evaluation"] = dict(d["evaluation"], map_iou_thresholds="coco")
+    d["training"] = dict(d["training"], experiment_name="t_map")
+    cfg2 = Config.from_dict(d)
+    trainer = Trainer(cfg2, verbose=False)
+    m = trainer.validate()
+    assert np.isfinite(m) or np.isnan(m)
+    res = trainer._last_val_result
+    assert "map" in res and "map_75" in res  # multi-threshold protocol ran
+
+
 def test_trainer_fit_with_grad_accumulation(tiny_cfg):
     """training.grad_accum_steps=2 through the real Trainer fit loop: the
     1-step epoch is a micro-step (params unchanged until the 2nd), and the

@@ -405,9 +405,22 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def validate(self, epoch: int = -1) -> float:
-        """mAP@0.5 over the val set (validate_epoch parity, train.py:20-165)."""
+        """mAP@0.5 over the val set (validate_epoch parity, train.py:20-165).
+
+        evaluation.map_iou_thresholds = "coco" additionally computes the
+        COCO-standard AP@[.50:.05:.95]; the returned/best-model metric stays
+        mAP@0.5 for reference parity."""
         assert self.val_loader is not None, "no validation dataset configured"
-        metric = MeanAveragePrecision(iou_thresholds=[0.5])
+        thresholds = getattr(self.cfg.evaluation, "map_iou_thresholds", [0.5])
+        if isinstance(thresholds, str):
+            if thresholds.lower() != "coco":
+                raise ValueError(
+                    f"map_iou_thresholds: unknown preset {thresholds!r}"
+                )
+            thresholds = [0.5 + 0.05 * i for i in range(10)]
+        if 0.5 not in [round(float(t), 2) for t in thresholds]:
+            thresholds = [0.5] + list(thresholds)
+        metric = MeanAveragePrecision(iou_thresholds=thresholds)
         img_h, img_w = self.img_size
         n_images = 0
         total_dets = 0
@@ -451,10 +464,20 @@ class Trainer:
             n_images += nv
         result = metric.compute()
         map50 = result.get("map_50", result["map"])
+        self._last_val_result = result
+        if len(thresholds) > 1:
+            self.logger.scalar(
+                "Validation/mAP_50_95", result["map"], max(epoch, 0)
+            )
         if self.verbose:
+            extra = (
+                f", AP@[.5:.95] = {result['map']:.4f}"
+                if len(thresholds) > 1
+                else ""
+            )
             print(
                 f"Validation epoch {epoch}: {n_images} images, "
-                f"{total_dets} detections, mAP@0.5 = {map50:.4f}"
+                f"{total_dets} detections, mAP@0.5 = {map50:.4f}{extra}"
             )
         return map50
 

@@ -140,6 +140,11 @@ class EvaluationConfig:
     img_size: list[int] = field(default_factory=lambda: [640, 640])
     iou_threshold: float = 0.5
     confidence_threshold: float = 0.25
+    # mAP IoU thresholds: [0.5] (reference parity, train.py:41-47) or the
+    # string "coco" for the COCO-standard 0.50:0.05:0.95 AP. With multiple
+    # thresholds the validator still selects/returns mAP@0.5 (best-model
+    # criterion parity) and logs the averaged AP alongside.
+    map_iou_thresholds: list[float] | str = field(default_factory=lambda: [0.5])
     extra: dict = field(default_factory=dict)
 
 
