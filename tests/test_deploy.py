@@ -105,6 +105,46 @@ def test_export_roundtrip(tmp_path):
     )
 
 
+def test_stablehlo_export_roundtrip(tmp_path):
+    """The StableHLO serving artifact is self-contained: deserializing the
+    bytes and calling it reproduces the in-process serving outputs with no
+    model code or checkpoint — weights are baked into the graph."""
+    from jax import export as jexport
+
+    from yolo_ms_tpu.data.augment import device_normalize_images
+    from yolo_ms_tpu.ops.postprocess import fused_postprocess
+    from yolo_ms_tpu.tools.export import export_stablehlo
+
+    arch, nc, hw = "n", 4, (64, 64)
+    model = build_model(arch, num_classes=nc, dtype=jnp.bfloat16)
+    variables = fold_batchnorm(init_model(model, jax.random.PRNGKey(0), hw))
+    out = str(tmp_path / "serve.stablehlo")
+    info = export_stablehlo(
+        variables, arch, nc, out, batch=2, img_size=hw, conf_thresh=1e-6
+    )
+    assert info["bytes"] > 0
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, *hw, 3), dtype=np.uint8))
+    with open(out, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    got = restored.call(imgs)
+
+    def serve(images_u8):
+        x = device_normalize_images(images_u8, jnp.bfloat16)
+        with deploy_mode():
+            raw = model.apply(variables, x, train=False, split_head=True)
+        return fused_postprocess(raw, nc, conf_thresh=1e-6)
+
+    want = jax.jit(serve)(imgs)
+    assert set(got) == set(want)
+    np.testing.assert_array_equal(np.asarray(got["valid"]), np.asarray(want["valid"]))
+    for k in ("boxes", "scores", "classes"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-4
+        )
+
+
 def test_export_prefers_ema_params(tmp_path):
     """EMA-trained runs validate the EMA weights; export must fold those,
     not the raw params."""
