@@ -108,6 +108,21 @@ def test_inference_cli_roundtrip(tiny_cfg, tmp_path):
         assert len(d["box_xyxy"]) == 4
 
 
+def test_val_cli_standalone(tiny_cfg, tmp_path):
+    """tools.val evaluates a checkpoint's mAP without a Trainer — any
+    checkpoint flavor through the shared load_serving_variables path."""
+    from yolo_ms_tpu.tools.val import run
+
+    cfg, root, _ = tiny_cfg
+    cfg_path = os.path.join(root, "cfg_val.yaml")
+    cfg.save(cfg_path)
+    ckpt = os.path.join(cfg.training.log_dir, "t", "weights", "last.ckpt")
+    result = run(cfg_path, ckpt)
+    assert "map" in result and "map_50" in result
+    v = result["map_50"]
+    assert np.isfinite(v) or np.isnan(v)
+
+
 def test_missing_checkpoint_raises(tiny_cfg, tmp_path):
     from yolo_ms_tpu.tools.test import run
 

@@ -24,7 +24,7 @@ def run(
     batch_size: int = 1,
 ) -> dict:
     from yolo_ms_tpu.infer.predictor import Predictor
-    from yolo_ms_tpu.utils.checkpoint import load_torch_checkpoint, restore_checkpoint
+    from yolo_ms_tpu.utils.checkpoint import load_serving_variables
     from yolo_ms_tpu.utils.config import load_config
     from yolo_ms_tpu.utils.profiler import enable_compilation_cache
 
@@ -33,30 +33,7 @@ def run(
     arch = cfg.model.architecture
     nc = cfg.dataset.num_classes
 
-    if not os.path.exists(checkpoint_path):
-        raise FileNotFoundError(f"Checkpoint file not found: {checkpoint_path}")
-    if checkpoint_path.endswith((".pt", ".pth")):
-        variables = load_torch_checkpoint(checkpoint_path)
-    else:
-        restored = restore_checkpoint(checkpoint_path)
-        # full train-state checkpoints nest under state/params; EMA-trained
-        # runs validate the EMA weights, so serve those when present
-        if "params" not in restored and "state" in restored:
-            state = restored["state"]
-            restored = {
-                "params": state.get("ema_params") or state["params"],
-                # EMA runs carry EMA'd BN stats too — serve the consistent pair
-                "batch_stats": state.get("ema_batch_stats")
-                or state["batch_stats"],
-            }
-        if "batch_stats" in restored:
-            variables = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
-        else:
-            # deploy export (tools/export.py): BN already folded
-            variables = {"params": restored["params"]}
+    variables = load_serving_variables(checkpoint_path)
 
     predictor = Predictor(
         arch,

@@ -204,3 +204,29 @@ def load_torch_checkpoint(path: str) -> dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     return torch_state_dict_to_variables(ckpt)
+
+
+def load_serving_variables(checkpoint_path: str) -> dict:
+    """Any checkpoint flavor -> serving variables (shared by the test/val
+    CLIs): reference .pt files (auto-converted), full orbax train states
+    (EMA weights + EMA BN stats preferred — the validated pair), plain eval
+    variables, or BN-folded deploy exports ({'params'} only)."""
+    import os
+
+    if not os.path.exists(checkpoint_path):
+        raise FileNotFoundError(f"Checkpoint file not found: {checkpoint_path}")
+    if checkpoint_path.endswith((".pt", ".pth")):
+        return load_torch_checkpoint(checkpoint_path)
+    restored = restore_checkpoint(checkpoint_path)
+    if "params" not in restored and "state" in restored:
+        state = restored["state"]
+        restored = {
+            "params": state.get("ema_params") or state["params"],
+            "batch_stats": state.get("ema_batch_stats") or state["batch_stats"],
+        }
+    if "batch_stats" in restored:
+        return {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+    return {"params": restored["params"]}  # deploy export: BN folded
