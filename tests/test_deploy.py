@@ -30,7 +30,7 @@ def _trained_ish_variables(model, rng, img=64):
     return {"params": params, "batch_stats": stats}
 
 
-@pytest.mark.parametrize("arch", ["n", "yolo-ms-xs"])
+@pytest.mark.parametrize("arch", ["n", "yolo-ms-xs", "yolov8-ms-n", "yolo-ms-xs-se"])
 def test_folded_matches_eval(arch):
     model = build_model(arch, num_classes=8)
     rng = np.random.default_rng(0)

@@ -39,6 +39,22 @@ class TestParamCounts:
         n = _param_count(name)
         assert lo < n / 1e6 < hi, f"{name}: {n/1e6:.2f}M not in [{lo},{hi}]"
 
+    @pytest.mark.parametrize(
+        "name,zoo_millions",
+        [("yolov8-ms-n", 2.9), ("yolov8-ms-s", 9.5), ("yolov8-ms-m", 25.9)],
+    )
+    def test_yolov8ms_counts(self, name, zoo_millions):
+        """model_zoos.md:168-209 (MS-Block applied to YOLOv8): N 2.9M,
+        S 9.5M, M 25.9M. Calibrated to within 1% (models/ms.py V8MS_BLOCK)."""
+        n = _param_count(name)
+        assert abs(n / 1e6 - zoo_millions) / zoo_millions < 0.02, f"{n/1e6:.2f}M"
+
+    def test_se_variant_adds_params(self):
+        """The '*' SE-attention rows (model_zoos.md:93-125): a few percent
+        more parameters than the base model, same output contract."""
+        base, se = _param_count("yolo-ms-xs"), _param_count("yolo-ms-xs-se")
+        assert base < se < base * 1.10
+
 
 class TestForwardShapes:
     def test_raw_maps_and_decode(self):
@@ -81,6 +97,16 @@ class TestForwardShapes:
         raw, updates = m.apply(variables, x, train=True, mutable=["batch_stats"])
         assert len(raw) == 3
         assert "batch_stats" in updates
+
+    @pytest.mark.parametrize("name", ["yolov8-ms-n", "yolo-ms-xs-se"])
+    def test_new_family_forward(self, name):
+        img = 64
+        m = build_model(name, num_classes=5)
+        variables = init_model(m, jax.random.PRNGKey(0), (img, img))
+        raw = m.apply(variables, jnp.zeros((1, img, img, 3)), train=False)
+        dec = decode_predictions(raw, num_classes=5)
+        a = sum((img // s) ** 2 for s in (8, 16, 32))
+        assert dec.shape == (1, a, 9)
 
     def test_ms_forward(self):
         img = 64

@@ -18,7 +18,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolo_ms_tpu.nn.blocks import ConvBnSiLU, MSBlock, MSFusion, MSSPPF
+from yolo_ms_tpu.nn.blocks import (
+    SPPF,
+    ConvBnSiLU,
+    MSBlock,
+    MSFusion,
+    MSSPPF,
+    deploy_mode_active,
+    upsample2x,
+    yolo_params,
+)
 from yolo_ms_tpu.models.yolo import DetectHead
 
 # (depth, width, ratio) per YOLO-MS variant; widths calibrated so parameter
@@ -51,20 +60,32 @@ def ms_params(version: str) -> tuple[float, float, float]:
 
 
 class _MSStage(nn.Module):
-    """max(1, round(3*depth)) chained MSBlocks with a stage-specific kernel."""
+    """Chained MSBlocks with a stage-specific kernel.
+
+    Block count defaults to max(1, round(3*depth)); ``num_blocks`` overrides
+    it (the YOLOv8-MS family mirrors the v8 per-stage depth schedule
+    3d/6d/6d/3d instead, yolov8_backbone.py:46-49).
+    """
 
     features: int
     kernel_size: int
     depth: float
+    num_blocks: int | None = None
+    use_se: bool = False
+    branch_ratio: float = 1.0
+    expansion: float = 2.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        n = max(1, round(3 * self.depth))
+    def __call__(self, x, *, train: bool = False) -> jax.Array:
+        n = self.num_blocks if self.num_blocks else max(1, round(3 * self.depth))
         for i in range(n):
             x = MSBlock(
                 self.features,
                 kernel_size=self.kernel_size,
+                use_se=self.use_se,
+                branch_ratio=self.branch_ratio,
+                expansion=self.expansion,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, train=train)
@@ -79,6 +100,7 @@ class MSBackbone(nn.Module):
     """
 
     version: str
+    use_se: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,13 +114,13 @@ class MSBackbone(nn.Module):
 
         x = ConvBnSiLU(c64, 3, 2, dtype=dt, name="conv0")(x, train=train)
         x = ConvBnSiLU(c128, 3, 2, dtype=dt, name="conv1")(x, train=train)
-        x = _MSStage(c128, k1, depth, dtype=dt, name="stage_2")(x, train=train)
+        x = _MSStage(c128, k1, depth, use_se=self.use_se, dtype=dt, name="stage_2")(x, train=train)
         x = ConvBnSiLU(c256, 3, 2, dtype=dt, name="conv3")(x, train=train)
-        out1 = _MSStage(c256, k2, depth, dtype=dt, name="stage_4")(x, train=train)
+        out1 = _MSStage(c256, k2, depth, use_se=self.use_se, dtype=dt, name="stage_4")(x, train=train)
         x = ConvBnSiLU(c512, 3, 2, dtype=dt, name="conv5")(out1, train=train)
-        out2 = _MSStage(c512, k3, depth, dtype=dt, name="stage_6")(x, train=train)
+        out2 = _MSStage(c512, k3, depth, use_se=self.use_se, dtype=dt, name="stage_6")(x, train=train)
         x = ConvBnSiLU(c512r, 3, 2, dtype=dt, name="conv7")(out2, train=train)
-        x = _MSStage(c512r, k4, depth, dtype=dt, name="stage_8")(x, train=train)
+        x = _MSStage(c512r, k4, depth, use_se=self.use_se, dtype=dt, name="stage_8")(x, train=train)
         out3 = MSSPPF(c512r, 5, dtype=dt, name="ms_sppf")(x, train=train)
         return out1, out2, out3
 
@@ -112,6 +134,7 @@ class MSNeck(nn.Module):
     """
 
     version: str
+    use_se: bool = False
     dtype: jnp.dtype = jnp.float32
     neck_kernels: tuple[int, int, int] | None = None
 
@@ -129,18 +152,18 @@ class MSNeck(nn.Module):
         x = MSFusion(c512, dtype=dt, name="fuse_1")(
             p5, p4, train=train, upsample_a=True
         )
-        res_2 = _MSStage(c512, k16, depth, dtype=dt, name="stage_1")(x, train=train)
+        res_2 = _MSStage(c512, k16, depth, use_se=self.use_se, dtype=dt, name="stage_1")(x, train=train)
         x = MSFusion(c256, dtype=dt, name="fuse_2")(
             res_2, p3, train=train, upsample_a=True
         )
-        out1 = _MSStage(c256, k8, depth, dtype=dt, name="stage_2")(x, train=train)
+        out1 = _MSStage(c256, k8, depth, use_se=self.use_se, dtype=dt, name="stage_2")(x, train=train)
 
         x = ConvBnSiLU(c256, 3, 2, dtype=dt, name="conv1")(out1, train=train)
         x = MSFusion(c512, dtype=dt, name="fuse_3")(x, res_2, train=train)
-        out2 = _MSStage(c512, k16, depth, dtype=dt, name="stage_3")(x, train=train)
+        out2 = _MSStage(c512, k16, depth, use_se=self.use_se, dtype=dt, name="stage_3")(x, train=train)
         x = ConvBnSiLU(c512, 3, 2, dtype=dt, name="conv2")(out2, train=train)
         x = MSFusion(c512r, dtype=dt, name="fuse_4")(x, res_1, train=train)
-        out3 = _MSStage(c512r, k32, depth, dtype=dt, name="stage_4")(x, train=train)
+        out3 = _MSStage(c512r, k32, depth, use_se=self.use_se, dtype=dt, name="stage_4")(x, train=train)
         return out1, out2, out3
 
 
@@ -150,16 +173,18 @@ class YOLOMS(nn.Module):
     version: str
     num_classes: int = 80
     reg_max: int = 16
+    use_se: bool = False
     dtype: jnp.dtype = jnp.float32
     neck_kernels: tuple[int, int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, split_head: bool = False):
-        p3, p4, p5 = MSBackbone(self.version, dtype=self.dtype, name="backbone")(
-            x, train=train
-        )
+        p3, p4, p5 = MSBackbone(
+            self.version, use_se=self.use_se, dtype=self.dtype, name="backbone"
+        )(x, train=train)
         n1, n2, n3 = MSNeck(
             self.version,
+            use_se=self.use_se,
             dtype=self.dtype,
             neck_kernels=self.neck_kernels,
             name="neck",
@@ -169,6 +194,143 @@ class YOLOMS(nn.Module):
         head_version = {"xs": "n", "s": "s", "m": "m"}[self.version]
         return DetectHead(
             head_version,
+            num_classes=self.num_classes,
+            reg_max=self.reg_max,
+            dtype=self.dtype,
+            name="head",
+        )((n1, n2, n3), train=train, split=split_head)
+
+
+# --------------------------------------------------------------------------
+# YOLOv8-MS family — MS-Block applied to the YOLOv8 macro-architecture
+# (model_zoos.md:168-209: "Applying MS-Block to YOLOv8"; N/S/M rows with
+# 2.9M / 9.5M / 25.9M params). No reference code exists; the design follows
+# the published recipe: keep the v8 skeleton (stride convs, SPPF, plain
+# PAFPN concats, per-stage depth schedule 3d/6d/6d/3d) and swap every C2f
+# stage for MSBlocks under the HKS kernel protocol.
+# --------------------------------------------------------------------------
+
+
+# MSBlock width knobs per YOLOv8-MS version, calibrated so parameter counts
+# land on the model-zoo rows (model_zoos.md:168-209: N 2.9M, S 9.5M, M 25.9M):
+# (branch_ratio, expansion) of every MS stage in backbone+neck.
+V8MS_BLOCK: dict[str, tuple[float, float]] = {
+    "n": (1.25, 3.0),  # 2.89M vs zoo 2.9M
+    "s": (1.5, 2.0),  # 9.46M vs zoo 9.5M
+    "m": (1.5, 3.0),  # 25.76M vs zoo 25.9M
+}
+
+
+class V8MSBackbone(nn.Module):
+    """v8 backbone (yolov8_backbone.py:30-74) with MSBlock stages + SPPF."""
+
+    version: str
+    use_se: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False):
+        depth, width, ratio = yolo_params(self.version)
+        c64, c128 = int(64 * width), int(128 * width)
+        c256, c512 = int(256 * width), int(512 * width)
+        c512r = int(512 * width * ratio)
+        d3, d6 = max(1, int(3 * depth)), max(1, int(6 * depth))
+        dt = self.dtype
+        k1, k2, k3, k4 = HKS_KERNELS
+
+        br, ex = V8MS_BLOCK[self.version]
+
+        def stage(feats, k, n, name):
+            return _MSStage(
+                feats, k, depth, num_blocks=n, use_se=self.use_se,
+                branch_ratio=br, expansion=ex, dtype=dt, name=name
+            )
+
+        x = ConvBnSiLU(c64, 3, 2, dtype=dt, name="conv0")(x, train=train)
+        x = ConvBnSiLU(c128, 3, 2, dtype=dt, name="conv1")(x, train=train)
+        x = stage(c128, k1, d3, "stage_2")(x, train=train)
+        x = ConvBnSiLU(c256, 3, 2, dtype=dt, name="conv3")(x, train=train)
+        out1 = stage(c256, k2, d6, "stage_4")(x, train=train)
+        x = ConvBnSiLU(c512, 3, 2, dtype=dt, name="conv5")(out1, train=train)
+        out2 = stage(c512, k3, d6, "stage_6")(x, train=train)
+        x = ConvBnSiLU(c512r, 3, 2, dtype=dt, name="conv7")(out2, train=train)
+        x = stage(c512r, k4, d3, "stage_8")(x, train=train)
+        out3 = SPPF(c512r, 5, dtype=dt, name="sppf")(x, train=train)
+        return out1, out2, out3
+
+
+class V8MSNeck(nn.Module):
+    """v8 PAFPN (yolov8_neck.py:54-94) with MSBlock stages.
+
+    Fusion stays the v8 plain concat; stage kernels follow the feature
+    stride (NECK_KERNELS — same HKS reasoning as MSNeck). On the deploy
+    graph the top-down fusions feed the MSBlock entry 1x1 conv the
+    (small, lateral) split form, so the nearest-2x broadcast is never
+    materialized (exact; nn.blocks._UpsampleConcatConv1x1).
+    """
+
+    version: str
+    use_se: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p3: jax.Array, p4: jax.Array, p5: jax.Array, *, train: bool = False
+    ):
+        depth, width, ratio = yolo_params(self.version)
+        c256, c512 = int(256 * width), int(512 * width)
+        c512r = int(512 * width * ratio)
+        d3 = max(1, int(3 * depth))
+        dt = self.dtype
+        k8, k16, k32 = NECK_KERNELS
+
+        br, ex = V8MS_BLOCK[self.version]
+
+        def stage(feats, k, name):
+            return _MSStage(
+                feats, k, depth, num_blocks=d3, use_se=self.use_se,
+                branch_ratio=br, expansion=ex, dtype=dt, name=name
+            )
+
+        def up_cat(small, lateral):
+            if deploy_mode_active():
+                return (small, lateral)
+            return jnp.concatenate([upsample2x(small), lateral], axis=-1)
+
+        res_1 = p5
+        x = up_cat(p5, p4)
+        res_2 = stage(c512, k16, "stage_1")(x, train=train)
+        x = up_cat(res_2, p3)
+        out1 = stage(c256, k8, "stage_2")(x, train=train)
+
+        x = ConvBnSiLU(c256, 3, 2, dtype=dt, name="conv1")(out1, train=train)
+        x = jnp.concatenate([x, res_2], axis=-1)
+        out2 = stage(c512, k16, "stage_3")(x, train=train)
+        x = ConvBnSiLU(c512, 3, 2, dtype=dt, name="conv2")(out2, train=train)
+        x = jnp.concatenate([x, res_1], axis=-1)
+        out3 = stage(c512r, k32, "stage_4")(x, train=train)
+        return out1, out2, out3
+
+
+class YOLOv8MS(nn.Module):
+    """YOLOv8-MS composition root: v8 skeleton, MSBlock stages, v8 head."""
+
+    version: str
+    num_classes: int = 80
+    reg_max: int = 16
+    use_se: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False, split_head: bool = False):
+        p3, p4, p5 = V8MSBackbone(
+            self.version, use_se=self.use_se, dtype=self.dtype, name="backbone"
+        )(x, train=train)
+        n1, n2, n3 = V8MSNeck(
+            self.version, use_se=self.use_se, dtype=self.dtype, name="neck"
+        )(p3, p4, p5, train=train)
+        return DetectHead(
+            self.version,
             num_classes=self.num_classes,
             reg_max=self.reg_max,
             dtype=self.dtype,

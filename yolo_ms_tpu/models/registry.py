@@ -13,27 +13,36 @@ import jax
 import jax.numpy as jnp
 
 from yolo_ms_tpu.models.yolo import YOLOv8
-from yolo_ms_tpu.models.ms import YOLOMS
+from yolo_ms_tpu.models.ms import YOLOMS, YOLOv8MS
 
-# name -> (builder class, version arg)
-MODEL_ZOO: dict[str, tuple[Any, str]] = {
+# name -> (builder class, version arg, extra constructor kwargs)
+MODEL_ZOO: dict[str, tuple[Any, str, dict]] = {
     # YOLOv8 family — reference parity (single-letter names match the
     # reference's config `model.architecture` field, coco_yolov8.yaml:13).
-    "n": (YOLOv8, "n"),
-    "s": (YOLOv8, "s"),
-    "m": (YOLOv8, "m"),
-    "l": (YOLOv8, "l"),
-    "x": (YOLOv8, "x"),
-    "yolov8-n": (YOLOv8, "n"),
-    "yolov8-s": (YOLOv8, "s"),
-    "yolov8-m": (YOLOv8, "m"),
-    "yolov8-l": (YOLOv8, "l"),
-    "yolov8-x": (YOLOv8, "x"),
+    "n": (YOLOv8, "n", {}),
+    "s": (YOLOv8, "s", {}),
+    "m": (YOLOv8, "m", {}),
+    "l": (YOLOv8, "l", {}),
+    "x": (YOLOv8, "x", {}),
+    "yolov8-n": (YOLOv8, "n", {}),
+    "yolov8-s": (YOLOv8, "s", {}),
+    "yolov8-m": (YOLOv8, "m", {}),
+    "yolov8-l": (YOLOv8, "l", {}),
+    "yolov8-x": (YOLOv8, "x", {}),
     # YOLO-MS family (model_zoos.md:20-61).
-    "yolo-ms-xs": (YOLOMS, "xs"),
-    "yolo-ms-s": (YOLOMS, "s"),
-    "yolo-ms": (YOLOMS, "m"),
-    "yolo-ms-m": (YOLOMS, "m"),
+    "yolo-ms-xs": (YOLOMS, "xs", {}),
+    "yolo-ms-s": (YOLOMS, "s", {}),
+    "yolo-ms": (YOLOMS, "m", {}),
+    "yolo-ms-m": (YOLOMS, "m", {}),
+    # SE-attention variants — the zoo's '*' rows (model_zoos.md:93-125).
+    "yolo-ms-xs-se": (YOLOMS, "xs", {"use_se": True}),
+    "yolo-ms-s-se": (YOLOMS, "s", {"use_se": True}),
+    "yolo-ms-m-se": (YOLOMS, "m", {"use_se": True}),
+    # YOLOv8-MS family — MS-Block applied to the v8 skeleton
+    # (model_zoos.md:168-209).
+    "yolov8-ms-n": (YOLOv8MS, "n", {}),
+    "yolov8-ms-s": (YOLOv8MS, "s", {}),
+    "yolov8-ms-m": (YOLOv8MS, "m", {}),
 }
 
 
@@ -49,8 +58,10 @@ def build_model(
         raise ValueError(
             f"Unknown architecture '{architecture}'. Available: {sorted(MODEL_ZOO)}"
         )
-    cls, version = MODEL_ZOO[key]
-    return cls(version=version, num_classes=num_classes, reg_max=reg_max, dtype=dtype)
+    cls, version, kwargs = MODEL_ZOO[key]
+    return cls(
+        version=version, num_classes=num_classes, reg_max=reg_max, dtype=dtype, **kwargs
+    )
 
 
 def init_model(

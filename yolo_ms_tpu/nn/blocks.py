@@ -432,12 +432,40 @@ def dfl_expectation(dist: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+class SqueezeExcite(nn.Module):
+    """Squeeze-and-excitation channel attention — the zoo's ``*`` variants.
+
+    The model-zoo tables list SE-augmented YOLO-MS models
+    (model_zoos.md:93-125: "YOLO-MS-XS*/S* ... SE attention"); no reference
+    code exists, so this is the standard SE design: global-average squeeze ->
+    1x1 reduce (SiLU) -> 1x1 expand -> sigmoid channel gate. Plain biased
+    convs (no BN) so deploy-mode BN folding passes through unchanged, and the
+    [B,1,1,C] bottleneck keeps the whole module a few-microsecond epilogue.
+    """
+
+    features: int
+    ratio: float = 0.25
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = max(8, int(self.features * self.ratio))
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(hidden, (1, 1), use_bias=True, dtype=self.dtype, name="reduce")(s)
+        s = nn.silu(s)
+        s = nn.Conv(
+            self.features, (1, 1), use_bias=True, dtype=self.dtype, name="expand"
+        )(s)
+        return x * jax.nn.sigmoid(s)
+
+
 class InvertedBottleneck(nn.Module):
-    """1x1 expand -> kxk depthwise -> 1x1 project, all ConvBnSiLU."""
+    """1x1 expand -> kxk depthwise -> (optional SE) -> 1x1 project."""
 
     features: int
     kernel_size: int
     expansion: float = 2.0
+    use_se: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -457,6 +485,8 @@ class InvertedBottleneck(nn.Module):
         )(y, train=train)
         if isolate and _DW_ISOLATE_SIDES.get() == "both":
             y = jax.lax.optimization_barrier(y)
+        if self.use_se:
+            y = SqueezeExcite(hidden, dtype=self.dtype, name="se")(y)
         y = ConvBnSiLU(self.features, 1, dtype=self.dtype, name="project")(y, train=train)
         return y
 
@@ -478,10 +508,11 @@ class MSBlock(nn.Module):
     num_branches: int = 3
     branch_ratio: float = 1.0
     expansion: float = 2.0
+    use_se: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x, *, train: bool = False) -> jax.Array:
         bc = max(8, int(self.features * self.branch_ratio / self.num_branches))
         x = ConvBnSiLU(bc * self.num_branches, 1, dtype=self.dtype, name="in_conv")(
             x, train=train
@@ -497,6 +528,7 @@ class MSBlock(nn.Module):
                 bc,
                 kernel_size=self.kernel_size,
                 expansion=self.expansion,
+                use_se=self.use_se,
                 dtype=self.dtype,
                 name=f"branch_{i}",
             )(y, train=train)

@@ -26,7 +26,14 @@ def analyze(
     import numpy as np
 
     from yolo_ms_tpu.models.decode import decode_predictions
-    from yolo_ms_tpu.models.ms import MSBackbone, MSNeck, YOLOMS
+    from yolo_ms_tpu.models.ms import (
+        MSBackbone,
+        MSNeck,
+        V8MSBackbone,
+        V8MSNeck,
+        YOLOMS,
+        YOLOv8MS,
+    )
     from yolo_ms_tpu.models.registry import (
         MODEL_ZOO,
         build_model,
@@ -41,12 +48,18 @@ def analyze(
         raise ValueError(
             f"Unknown architecture '{version}'. Available: {sorted(MODEL_ZOO)}"
         )
-    cls, sub_version = MODEL_ZOO[version.lower()]
+    cls, sub_version, zoo_kwargs = MODEL_ZOO[version.lower()]
+    se = {"use_se": True} if zoo_kwargs.get("use_se") else {}
     if cls is YOLOMS:
-        backbone_mod = MSBackbone(sub_version)
-        neck_mod = MSNeck(sub_version)
+        backbone_mod = MSBackbone(sub_version, **se)
+        neck_mod = MSNeck(sub_version, **se)
         head_version = {"xs": "n", "s": "s", "m": "m"}[sub_version]
-        family = f"YOLO-MS-{sub_version.upper()}"
+        family = f"YOLO-MS-{sub_version.upper()}" + ("*" if se else "")
+    elif cls is YOLOv8MS:
+        backbone_mod = V8MSBackbone(sub_version, **se)
+        neck_mod = V8MSNeck(sub_version, **se)
+        head_version = sub_version
+        family = f"YOLOv8-MS-{sub_version.upper()}" + ("*" if se else "")
     else:
         backbone_mod = Backbone(sub_version)
         neck_mod = Neck(sub_version)

@@ -32,16 +32,29 @@ def visualize(
     import numpy as np
 
     from yolo_ms_tpu.models.decode import decode_predictions
-    from yolo_ms_tpu.models.ms import MSBackbone, MSNeck, YOLOMS
+    from yolo_ms_tpu.models.ms import (
+        MSBackbone,
+        MSNeck,
+        V8MSBackbone,
+        V8MSNeck,
+        YOLOMS,
+        YOLOv8MS,
+    )
     from yolo_ms_tpu.models.registry import MODEL_ZOO, build_model, init_model
     from yolo_ms_tpu.models.yolo import Backbone, Neck
 
     os.makedirs(out_dir, exist_ok=True)
     model = build_model(version, num_classes=num_classes)
     # staged classes per family (mirrors tools/analyze.py)
-    cls, sub_version = MODEL_ZOO[version.lower()]
+    cls, sub_version, zoo_kwargs = MODEL_ZOO[version.lower()]
+    se = {"use_se": True} if zoo_kwargs.get("use_se") else {}
     if cls is YOLOMS:
-        backbone_mod, neck_mod = MSBackbone(sub_version), MSNeck(sub_version)
+        backbone_mod, neck_mod = MSBackbone(sub_version, **se), MSNeck(sub_version, **se)
+    elif cls is YOLOv8MS:
+        backbone_mod, neck_mod = (
+            V8MSBackbone(sub_version, **se),
+            V8MSNeck(sub_version, **se),
+        )
     else:
         backbone_mod, neck_mod = Backbone(sub_version), Neck(sub_version)
     variables = init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
