@@ -157,6 +157,8 @@ def main() -> None:
             ("n", 32),
             ("n", 128),
             ("s", 32),
+            ("yolov8-ms-n", 128),
+            ("yolo-ms-xs-se", 128),
         ]
 
     inference = {}

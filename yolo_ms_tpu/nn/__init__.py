@@ -6,6 +6,7 @@ from yolo_ms_tpu.nn.blocks import (  # noqa: F401
     MSBlock,
     MSSPPF,
     MSFusion,
+    SqueezeExcite,
     upsample2x,
     dfl_expectation,
     yolo_params,
