@@ -119,6 +119,15 @@ class TestForwardShapes:
 
 
 class TestRegistry:
+    def test_every_zoo_name_builds(self):
+        """Every registry entry constructs and abstractly initializes
+        (eval_shape: no FLOPs) with a nonzero param count."""
+        from yolo_ms_tpu.models.registry import MODEL_ZOO
+
+        for name in MODEL_ZOO:
+            n = _param_count(name)
+            assert n > 1e6, f"{name}: suspicious param count {n}"
+
     def test_unknown_name_raises(self):
         with pytest.raises(ValueError):
             build_model("yolov99")
