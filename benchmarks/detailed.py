@@ -87,6 +87,12 @@ def scan_rate(fn, args, K=10, reps=3):
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--configs",
+        default=None,
+        help="comma-separated arch:bs inference configs to run instead of "
+        "the default list (skips the train section)",
+    )
     parser.add_argument("--out", default="BENCH_DETAILS.json")
     args = parser.parse_args()
 
@@ -147,7 +153,12 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     configs = [("yolo-ms-xs", 1), ("yolo-ms-xs", 32), ("yolo-ms-xs", 128)]
-    if not args.quick:
+    if args.configs:
+        configs = [
+            (a, int(b))
+            for a, b in (c.split(":") for c in args.configs.split(","))
+        ]
+    elif not args.quick:
         configs += [
             ("yolo-ms-s", 8),
             ("yolo-ms-s", 32),
@@ -194,6 +205,13 @@ def main() -> None:
         }
         print(arch, bs, inference[f"{arch}_bs{bs}"], flush=True)
     results["inference"] = inference
+
+    if args.configs:
+        # targeted inference-only run: skip train/preprocess sections
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.out}")
+        return
 
     # ---- training step ----
     from yolo_ms_tpu.train.loss import DetectionLoss
