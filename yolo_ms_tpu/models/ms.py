@@ -74,6 +74,7 @@ class _MSStage(nn.Module):
     use_se: bool = False
     branch_ratio: float = 1.0
     expansion: float = 2.0
+    isolate_dw: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -86,6 +87,7 @@ class _MSStage(nn.Module):
                 use_se=self.use_se,
                 branch_ratio=self.branch_ratio,
                 expansion=self.expansion,
+                isolate_dw=self.isolate_dw,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, train=train)
@@ -241,9 +243,12 @@ class V8MSBackbone(nn.Module):
         br, ex = V8MS_BLOCK[self.version]
 
         def stage(feats, k, n, name):
+            # isolate_dw=False: barriers measured 5% WORSE on this family
+            # (PERF.md "dw-isolation is family-specific")
             return _MSStage(
                 feats, k, depth, num_blocks=n, use_se=self.use_se,
-                branch_ratio=br, expansion=ex, dtype=dt, name=name
+                branch_ratio=br, expansion=ex, isolate_dw=False,
+                dtype=dt, name=name
             )
 
         x = ConvBnSiLU(c64, 3, 2, dtype=dt, name="conv0")(x, train=train)
@@ -289,7 +294,8 @@ class V8MSNeck(nn.Module):
         def stage(feats, k, name):
             return _MSStage(
                 feats, k, depth, num_blocks=d3, use_se=self.use_se,
-                branch_ratio=br, expansion=ex, dtype=dt, name=name
+                branch_ratio=br, expansion=ex, isolate_dw=False,
+                dtype=dt, name=name
             )
 
         def up_cat(small, lateral):

@@ -460,19 +460,31 @@ class SqueezeExcite(nn.Module):
 
 
 class InvertedBottleneck(nn.Module):
-    """1x1 expand -> kxk depthwise -> (optional SE) -> 1x1 project."""
+    """1x1 expand -> kxk depthwise -> (optional SE) -> 1x1 project.
+
+    ``isolate_dw=False`` opts the module out of the dw-isolation barriers
+    regardless of the ambient context: the barrier win is family-specific
+    (yolo-ms-xs +13%; yolov8-ms-n −5% — its wider hidden widths sit in the
+    opposite fusion regime, same-session A/B in PERF.md), so each
+    composition root picks its measured-best setting.
+    """
 
     features: int
     kernel_size: int
     expansion: float = 2.0
     use_se: bool = False
+    isolate_dw: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         hidden = int(self.features * self.expansion)
         y = ConvBnSiLU(hidden, 1, dtype=self.dtype, name="expand")(x, train=train)
-        isolate = (not train) and 0 < _DW_ISOLATE.get() <= self.kernel_size
+        isolate = (
+            self.isolate_dw
+            and (not train)
+            and 0 < _DW_ISOLATE.get() <= self.kernel_size
+        )
         if isolate:
             # Break the expand->depthwise fusion: XLA fuses the 1x1 expand
             # into the grouped-conv emitter and the fused op runs ~4-5x
@@ -509,6 +521,7 @@ class MSBlock(nn.Module):
     branch_ratio: float = 1.0
     expansion: float = 2.0
     use_se: bool = False
+    isolate_dw: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -529,6 +542,7 @@ class MSBlock(nn.Module):
                 kernel_size=self.kernel_size,
                 expansion=self.expansion,
                 use_se=self.use_se,
+                isolate_dw=self.isolate_dw,
                 dtype=self.dtype,
                 name=f"branch_{i}",
             )(y, train=train)
