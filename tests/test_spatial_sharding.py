@@ -175,3 +175,43 @@ def test_hybrid_dp_sp_train_step_matches_pure_dp():
         float(np.sum(a**2)) for a in jax.tree_util.tree_leaves(s_dp.params)
     )
     assert (num / den) ** 0.5 < 1e-2, (num, den)
+
+
+def test_batch_sharded_serving_matches_single_device():
+    """DP serving: the whole deploy pipeline (BN-folded forward + fused
+    tail) with the BATCH sharded over the mesh must equal the
+    single-device outputs exactly — per-image work has no cross-device
+    dependency, so GSPMD partitions it without any collectives and
+    throughput scales with chips."""
+    from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
+    from yolo_ms_tpu.parallel.mesh import batch_sharding
+
+    devices = jax.devices()
+    assert len(devices) >= 4
+    mesh = make_mesh(devices[:4])
+    nc = 8
+    model = build_model("n", num_classes=nc)
+    variables = fold_batchnorm(init_model(model, jax.random.PRNGKey(0), (128, 128)))
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 128, 128, 3)), jnp.float32)
+
+    def infer(v, images):
+        with deploy_mode():
+            raw = model.apply(v, images, train=False, split_head=True)
+        return fused_postprocess(raw, nc, conf_thresh=1e-6, pre_nms_topk=64, max_det=16)
+
+    want = jax.device_get(jax.jit(infer)(variables, x))
+
+    repl = replicated_sharding(mesh)
+    dp = batch_sharding(mesh)
+    got = jax.device_get(
+        jax.jit(infer, in_shardings=(repl, dp), out_shardings=repl)(
+            jax.device_put(variables, repl), jax.device_put(x, dp)
+        )
+    )
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    v = want["valid"]
+    np.testing.assert_array_equal(got["classes"][v], want["classes"][v])
+    np.testing.assert_allclose(got["scores"][v], want["scores"][v], rtol=1e-5)
+    np.testing.assert_allclose(got["boxes"][v], want["boxes"][v], rtol=1e-4, atol=1e-3)
