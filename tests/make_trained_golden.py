@@ -15,7 +15,10 @@ produces, under tests/golden/trained/:
 tests/test_trained_golden.py replays weights.npz on fixture_000.png through
 the Predictor and asserts detection parity with the golden JSON.
 
-Usage: JAX_PLATFORMS=cpu python -m tests.make_trained_golden
+Usage: JAX_PLATFORMS=cpu python -m tests.make_trained_golden [arch] [epochs]
+
+arch defaults to "n" (golden dir tests/golden/trained/ for back-compat);
+any other zoo name writes tests/golden/trained_<arch>/.
 """
 
 from __future__ import annotations
@@ -23,8 +26,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 
-GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "trained")
+
+def golden_dir(arch: str) -> str:
+    sub = "trained" if arch == "n" else f"trained_{arch}"
+    return os.path.join(os.path.dirname(__file__), "golden", sub)
 
 
 def flatten_tree(tree, prefix=""):
@@ -49,7 +56,7 @@ def unflatten_tree(flat):
     return out
 
 
-def main():
+def main(arch: str = "n", epochs: int = 80):
     import numpy as np
 
     import jax
@@ -60,6 +67,7 @@ def main():
     from yolo_ms_tpu.train.trainer import Trainer
     from yolo_ms_tpu.utils.config import Config
 
+    GOLDEN_DIR = golden_dir(arch)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     root = "/tmp/trained_golden_work"
     shutil.rmtree(root, ignore_errors=True)
@@ -81,13 +89,13 @@ def main():
                 "max_gt": 8,
             },
             "model": {
-                "architecture": "n",
+                "architecture": arch,
                 "input_size": [160, 160],
                 "compute_dtype": "float32",
             },
             "training": {
                 "batch_size": 16,
-                "epochs": 80,
+                "epochs": epochs,
                 "learning_rate": 2e-3,
                 "optimizer": "adam",
                 "weight_decay": 0.0,
@@ -99,7 +107,7 @@ def main():
                 "grad_clip_norm": 10.0,
                 "scheduler": {
                     "type": "cosine",
-                    "cosine_t_max": 80,
+                    "cosine_t_max": epochs,
                     "warmup_steps": 20,
                 },
             },
@@ -154,7 +162,8 @@ def main():
         json.dump(
             {
                 "recipe": "tests/test_learning.py synthetic rectangles",
-                "epochs": 80,
+                "architecture": arch,
+                "epochs": epochs,
                 "final_map50": float(final_map),
                 "backend": jax.default_backend(),
                 "note": "weights.npz = EMA(params+batch_stats) f32",
@@ -166,4 +175,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "n",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 80,
+    )
