@@ -70,6 +70,27 @@ def test_nan_guard_freezes_state():
     assert int(new_state.step) == 1  # step counter still advances
 
 
+def test_nan_guard_catches_finite_loss_nonfinite_grads():
+    """All-constant images give zero-variance train-mode BN: every loss term
+    stays finite but the backward overflows (~rsqrt(eps) amplification per
+    layer, then inf * zero-activation = nan in conv kernel grads). The guard
+    must freeze params AND optimizer moments — a loss-only check misses it
+    and the nan moments would poison every later step."""
+    step, state, batch = make_setup()
+    bad = dict(batch)
+    bad["images"] = jnp.zeros_like(batch["images"])
+    new_state, metrics = step(state, bad)
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for leaf in jax.tree_util.tree_leaves(new_state.opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_ema_tracks_params():
     step, state, batch = make_setup(ema_decay=0.99)
     s1, _ = step(state, batch)

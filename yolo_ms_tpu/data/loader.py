@@ -54,6 +54,7 @@ class DetectionLoader:
         device_normalize: bool = False,
         multiscale_sizes: list[int] | None = None,
         multiscale_interval: int = 10,
+        process_shard: tuple[int, int] | None = None,
     ):
         # device_normalize=True emits raw uint8 pixels (the whole augment
         # pipeline is uint8 end-to-end); the consumer normalizes on device.
@@ -62,6 +63,23 @@ class DetectionLoader:
         self.device_normalize = device_normalize
         self.ds = dataset
         self.batch_size = batch_size
+        # Multi-host data parallelism: `batch_size` is the GLOBAL batch;
+        # process_shard=(index, count) makes this loader produce only rows
+        # [index*local : (index+1)*local] of every global batch. Sample
+        # content is seeded purely by (seed, epoch, idx), so the global
+        # batch is byte-identical to a single-process run regardless of the
+        # host topology — the per-worker data shards of the reference zoo's
+        # 8xb32 recipes (model_zoos.md:28), done the deterministic way.
+        idx_, cnt_ = process_shard or (0, 1)
+        if cnt_ < 1 or not 0 <= idx_ < cnt_:
+            raise ValueError(f"invalid process_shard {(idx_, cnt_)}")
+        if batch_size % cnt_:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{cnt_} processes"
+            )
+        self._shard_index, self._shard_count = idx_, cnt_
+        self.local_batch_size = batch_size // cnt_
         self.img_h, self.img_w = img_size
         self.max_gt = max_gt
         self.is_train = is_train
@@ -212,8 +230,9 @@ class DetectionLoader:
         return imgs, bs, ls, ms
 
     def _finish_batch(self, imgs, bs, ls, ms) -> dict:
-        """Pad a short (final) batch to full batch size with zero images."""
-        pad = self.batch_size - len(imgs)
+        """Pad a short (final) batch to the LOCAL batch size with zero
+        images (local == global when unsharded)."""
+        pad = self.local_batch_size - len(imgs)
         valid = len(imgs)
         for _ in range(pad):
             imgs.append(np.zeros_like(imgs[0]))
@@ -272,6 +291,22 @@ class DetectionLoader:
 
         def produce(batch_ids, batch_idx):
             hw = self._hw_for_batch(epoch, batch_idx)
+            if self._shard_count > 1:
+                lo = self._shard_index * self.local_batch_size
+                batch_ids = batch_ids[lo : lo + self.local_batch_size]
+                if not batch_ids:
+                    # short final batch whose valid rows all land on other
+                    # hosts: still emit an all-padding batch — every host
+                    # must run the same number of steps or the train step's
+                    # cross-host collectives deadlock
+                    h, w = hw
+                    img_dtype = np.uint8 if self.device_normalize else np.float32
+                    return self._finish_batch(
+                        [np.zeros((h, w, 3), img_dtype)],
+                        [np.zeros((self.max_gt, 4), np.float32)],
+                        [np.zeros((self.max_gt,), np.int32)],
+                        [np.zeros((self.max_gt,), bool)],
+                    ) | {"num_valid": 0}
             if not self.is_train:
                 fast = self._produce_native_eval(batch_ids, order)
                 if fast is not None:

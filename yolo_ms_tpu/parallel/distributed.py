@@ -95,6 +95,33 @@ def global_max_int(value: int) -> int:
     return int(np.max(gathered))
 
 
+def barrier(tag: str, timeout_s: float = 600.0) -> None:
+    """Rendezvous all processes via the coordination service (no device
+    collective, no compile). Single-host: no-op.
+
+    The use case is compile-skew fencing: the first execution of a jitted
+    program's collectives opens peer connections with a finite handshake
+    timeout (XLA's CPU Gloo KV exchange gives up after 30 s; TPU barriers
+    are also bounded). When hosts compile the same program at different
+    speeds, the fast host can reach the collective and time out while a
+    peer is still compiling. AOT-compile, then barrier, then execute —
+    `Trainer` does this for every new train/eval specialization.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # initialized through a non-standard path
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+        return
+    client.wait_at_barrier(tag, timeout_in_ms=int(timeout_s * 1000))
+
+
 def process_info() -> dict:
     import jax
 

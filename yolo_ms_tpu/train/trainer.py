@@ -40,6 +40,7 @@ from yolo_ms_tpu.eval.coco_map import MeanAveragePrecision
 from yolo_ms_tpu.models.registry import build_model, init_model
 from yolo_ms_tpu.ops.iou import xywh_to_xyxy
 from yolo_ms_tpu.ops.postprocess import fused_postprocess
+from yolo_ms_tpu.parallel.distributed import barrier
 from yolo_ms_tpu.parallel.mesh import (
     batch_sharding,
     hybrid_batch_sharding,
@@ -97,7 +98,16 @@ def make_train_step(model, loss_fn: DetectionLoss, tx, ema_decay: float = 0.0):
         new_params = optax.apply_updates(state.params, updates)
 
         # NaN/Inf guard: freeze the state on a bad step (train.py:365-368).
-        good = jnp.isfinite(loss)
+        # Checks the optimizer UPDATES, not just the loss: a finite loss can
+        # coexist with nonfinite grads (e.g. zero-variance train-mode BN on a
+        # degenerate constant input amplifies the backward by ~rsqrt(eps) per
+        # layer until it overflows, then inf * zero-activation = nan in the
+        # conv kernel grads while every loss term stays finite).
+        good = jnp.isfinite(loss) & jax.tree_util.tree_reduce(
+            lambda acc, u: acc & jnp.all(jnp.isfinite(u)),
+            updates,
+            jnp.asarray(True),
+        )
 
         def pick(new, old):
             return jax.tree_util.tree_map(
@@ -196,6 +206,10 @@ class Trainer:
                 device_normalize=True,
                 multiscale_sizes=getattr(tcfg, "multiscale_sizes", None),
                 multiscale_interval=getattr(tcfg, "multiscale_interval", 10),
+                # pod data parallelism: batch_size is the GLOBAL batch; each
+                # host decodes only its own rows (deterministic shard of the
+                # identical global batch — see DetectionLoader.process_shard)
+                process_shard=(jax.process_index(), jax.process_count()),
             )
         if dcfg.val_annotations_path:
             val_ds = CocoDetectionDataset(
@@ -277,7 +291,31 @@ class Trainer:
             out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
         )
-        self._infer = jax.jit(self._infer_impl)
+        self._batch_shardings = batch_shardings
+        # Validation forward is DP-sharded over the same mesh as training:
+        # images split over 'data', outputs replicated (the detection tensors
+        # are small — [B, topk] — so the gather is negligible and every
+        # host/device ends with the full batch for metric accumulation).
+        # Falls back to replicated input when the eval batch doesn't divide
+        # over the mesh (every loader batch is padded to the full size, so
+        # divisibility is a static property of the config).
+        eval_divisible = (
+            cfg.evaluation.batch_size % self.mesh.shape["data"] == 0
+        )
+        self._infer = jax.jit(
+            self._infer_impl,
+            in_shardings=(
+                self.repl,
+                self.repl,
+                self.data_sh if eval_divisible else self.repl,
+            ),
+            out_shardings=self.repl,
+        )
+        self._eval_sharded = eval_divisible
+        # Multi-process compile-skew fence: per-specialization AOT
+        # executables, compiled then barriered before first execution
+        # (see _run_synced).
+        self._synced_exe: dict = {}
 
         self.state = TrainState(
             params=self.params,
@@ -389,6 +427,74 @@ class Trainer:
             "mask": host_batch["mask"][:, :m],
         }
 
+    def _globalize(self, host_batch):
+        """Host-local numpy -> global jax.Arrays for the multi-host train feed.
+
+        On a single process jit's in_shardings device-put numpy directly; on
+        a pod each host holds only ITS rows of the global batch (the loader's
+        process_shard), so the arrays must be assembled into global Arrays
+        via make_array_from_process_local_data — a host-local operation (no
+        transfer): each host's rows land on its own devices and the jit call
+        sees one [global_B, ...] array.
+        """
+        if jax.process_count() == 1:
+            return host_batch
+        cnt = jax.process_count()
+        out = {}
+        for k, v in host_batch.items():
+            v = np.asarray(v)
+            gshape = (v.shape[0] * cnt,) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                self._batch_shardings[k], v, gshape
+            )
+        return out
+
+    def _globalize_eval_images(self, images):
+        """Eval-feed analog of _globalize. The val loader is NOT process-
+        sharded (every host decodes the full batch — val is cheap and this
+        keeps mAP accumulation trivially identical on every host), so on a
+        pod each host contributes the rows its own devices hold: its slice
+        under the sharded path, the full (replicated) batch otherwise."""
+        if jax.process_count() == 1:
+            return images
+        v = np.asarray(images)
+        if self._eval_sharded:
+            cnt, idx = jax.process_count(), jax.process_index()
+            local = v.shape[0] // cnt
+            sh = self.data_sh
+            part = v[idx * local : (idx + 1) * local]
+        else:
+            sh = self.repl
+            part = v
+        return jax.make_array_from_process_local_data(sh, part, v.shape)
+
+    def _run_synced(self, name, jit_fn, *args):
+        """Call a jitted fn; on multi-process runs, fence each NEW shape
+        specialization with AOT-compile + coordination-service barrier.
+
+        A collective's first execution opens peer connections with a finite
+        handshake timeout (Gloo's KV exchange gives up at 30 s); host-level
+        compile skew — different cache state, different compile speed — can
+        exceed it, so the fast host times out inside a psum while a peer is
+        still compiling. Compiling ahead of time and rendezvousing through
+        the coordination service (which has a generous, configurable
+        timeout) makes the first step immune to skew. Single-process: plain
+        jit dispatch, zero overhead. Specializations arrive in the same
+        order on every process (GT buckets agree via global_max_int, canvas
+        sizes are pure functions of (seed, epoch, block)), so the barrier
+        tags match.
+        """
+        if jax.process_count() == 1:
+            return jit_fn(*args)
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        key = (name, treedef, tuple((l.shape, str(l.dtype)) for l in leaves))
+        exe = self._synced_exe.get(key)
+        if exe is None:
+            exe = jit_fn.lower(*args).compile()
+            barrier(f"compile_{name}_{len(self._synced_exe)}")
+            self._synced_exe[key] = exe
+        return exe(*args)
+
     def _infer_impl(self, params, batch_stats, images):
         images = device_normalize_images(images, self.model.dtype)
         raw = self.model.apply(
@@ -436,7 +542,13 @@ class Trainer:
         )
         for batch in self.val_loader.epoch(0):
             out = jax.device_get(
-                self._infer(eval_params, eval_bs, batch["images"])
+                self._run_synced(
+                    "infer",
+                    self._infer,
+                    eval_params,
+                    eval_bs,
+                    self._globalize_eval_images(batch["images"]),
+                )
             )
             nv = batch["num_valid"]
             preds, targets = [], []
@@ -507,24 +619,49 @@ class Trainer:
 
     def _install_preemption_handler(self):
         """Save a full-state checkpoint on SIGTERM/SIGINT before exiting —
-        the elastic-recovery hook the reference lacks (SURVEY.md §5)."""
+        the elastic-recovery hook the reference lacks (SURVEY.md §5).
+
+        Pod-safe ordering: EVERY process first drains its in-flight step
+        (block_until_ready participates in any outstanding collective, so
+        the primary's device_get cannot hang behind a peer that exited
+        mid-psum), and only then non-primaries exit while the primary saves
+        (the save itself reads replicated shards — process-local). A
+        watchdog hard-exits if a peer died before draining, so shutdown is
+        bounded even on a wedged collective."""
         import signal
+        import threading
+
+        grace = float(os.environ.get("YOLO_MS_PREEMPT_GRACE_S", "60"))
 
         def handler(signum, frame):
+            # a dead peer must not wedge shutdown forever
+            w = threading.Timer(grace, lambda: os._exit(128 + signum))
+            w.daemon = True
+            w.start()
+            try:
+                jax.block_until_ready(
+                    jax.tree_util.tree_leaves(self.state.params)
+                )
+            except Exception:
+                pass  # backend already torn down — save what the host has
             if not self._primary:
                 raise SystemExit(128 + signum)
             path = os.path.join(self.ckpt.dir, "preempt.ckpt")
             print(f"\nSignal {signum}: saving preemption checkpoint to {path}")
             from yolo_ms_tpu.utils.checkpoint import save_checkpoint
 
+            # local_only: peers drain and exit on the same signal, so the
+            # save must not barrier over them; save_checkpoint fetches the
+            # replicated state from local shards (no collectives).
             save_checkpoint(
                 path,
                 {
-                    "state": jax.device_get(self.state),
+                    "state": self.state,
                     "epoch": self._current_epoch,
                     # deterministic loader => exact mid-epoch resume
                     "step_in_epoch": self._current_step,
                 },
+                local_only=True,
             )
             raise SystemExit(128 + signum)
 
@@ -565,8 +702,10 @@ class Trainer:
                 host_batch = {
                     k: batch[k] for k in ("images", "boxes", "labels", "mask")
                 }
-                host_batch = self._bucket_gt(host_batch)
-                self.state, metrics = self._train_step(self.state, host_batch)
+                host_batch = self._globalize(self._bucket_gt(host_batch))
+                self.state, metrics = self._run_synced(
+                    "train_step", self._train_step, self.state, host_batch
+                )
                 n_steps += 1
                 step_losses.append(metrics["total_loss"])
                 gstep = epoch * steps_per_epoch + batch_idx

@@ -29,17 +29,57 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 
-def _checkpointer():
+def _checkpointer(local_only: bool = False):
     import orbax.checkpoint as ocp
 
+    if local_only:
+        # Process-0-only save for preemption on a pod: orbax's default save
+        # barriers over ALL processes (Checkpointer.save ->
+        # sync_global_processes), which deadlocks when peers have already
+        # exited on SIGTERM. active_processes={0} restricts every barrier to
+        # the primary, so the save completes alone. The tree passed in is
+        # host numpy (see _to_host), so no device collectives either.
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0,
+                active_processes={0},
+                barrier_sync_key_prefix="local_only",
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state: Any) -> None:
-    """Save a pytree checkpoint (params/opt_state/step/...)."""
+def _to_host(tree: Any) -> Any:
+    """Fetch a pytree to host WITHOUT cross-host collectives.
+
+    `jax.device_get` on a multi-process global array issues an allgather —
+    which deadlocks during preemption when a peer process has already
+    exited (its Gloo/ICI handshake never completes). The train state is
+    replicated, so every host's local shard IS the global value: read it
+    directly. Sharded leaves (no current caller saves any) still go through
+    device_get, which is collective-free for fully-addressable arrays.
+    """
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shard = x.addressable_data(0)
+            if shard.shape == x.shape:  # replicated: local replica == value
+                return np.asarray(shard)
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def save_checkpoint(path: str, state: Any, local_only: bool = False) -> None:
+    """Save a pytree checkpoint (params/opt_state/step/...).
+
+    ``local_only=True`` saves from process 0 without any cross-process
+    barrier — required during preemption, when peer processes may already
+    be gone (they drain and exit while the primary saves)."""
     path = os.path.abspath(path)
-    ckptr = _checkpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr = _checkpointer(local_only and jax.process_count() > 1)
+    ckptr.save(path, _to_host(state), force=True)
 
 
 def restore_checkpoint(path: str, target: Any | None = None) -> Any:
