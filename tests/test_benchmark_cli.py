@@ -15,6 +15,7 @@ REPORT_KEYS = {
     "device",
     "steady_state_ms_per_batch",
     "steady_state_img_per_s",
+    "steady_state_clamped",
     "k_wall_ms_per_batch",
     "k_wall_img_per_s",
 }
@@ -35,6 +36,92 @@ def test_train_mode_report():
     assert REPORT_KEYS <= set(r)
     assert r["mode"] == "train"
     assert r["k_wall_ms_per_batch"] > 0
+
+
+def test_train_mode_state_is_live():
+    """The scan must thread the updated TrainState (backward pass live).
+
+    With a dead carry, XLA drops the grad + optax update and train-mode
+    rates collapse toward forward-mode rates. Structural check: the jitted
+    loop's HLO must contain the optimizer update (mul by -lr via scatter or
+    the adam moment ops) — cheapest proxy: train wall >= forward wall on
+    identical tiny shapes is flaky, so instead assert the carry fn returns
+    a changed state.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_ms_tpu.models.registry import build_model, init_model
+    from yolo_ms_tpu.train.loss import DetectionLoss
+    from yolo_ms_tpu.train.optim import build_optimizer
+    from yolo_ms_tpu.train.trainer import TrainState, make_train_step
+    from yolo_ms_tpu.utils.config import TrainingConfig
+
+    model = build_model("n", num_classes=4, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    loss_fn = DetectionLoss(num_classes=4)
+    tx, _ = build_optimizer(TrainingConfig(batch_size=2, epochs=1), 10)
+    step = jax.jit(make_train_step(model, loss_fn, tx))
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(0),
+    )
+    # Non-degenerate images: an all-constant batch gives zero-variance
+    # train-mode BN whose backward overflows (the guard freezes the state
+    # and the moments legitimately stay zero — not what this test probes).
+    data = {
+        "images": jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)),
+        "boxes": jnp.tile(jnp.asarray([0.5, 0.5, 0.4, 0.4]), (2, 4, 1)),
+        "labels": jnp.zeros((2, 4), jnp.int32),
+        "mask": jnp.ones((2, 4), jnp.bool_),
+    }
+    new_state, _ = step(state, data)
+    assert int(new_state.step) == 1
+    # Warmup LR is 0 at step 0, so params may not move — the Adam first
+    # moment is grad-dependent and LR-independent: it must be nonzero.
+    mu_norm = sum(
+        float(jnp.sum(jnp.abs(leaf)))
+        for leaf in jax.tree_util.tree_leaves(new_state.opt_state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+    assert mu_norm > 0.0
+
+
+def test_streaming_fixture_and_run(tmp_path):
+    """Streaming serving benchmark: disk JPEGs -> host decode -> H2D ->
+    deploy graph, sustained rate + per-leg rates + bound verdict."""
+    from yolo_ms_tpu.tools.benchmark import ensure_stream_fixture, run_streaming
+
+    fx = str(tmp_path / "fixture")
+    paths = ensure_stream_fixture(fx, 12, seed=1)
+    assert len(paths) == 12
+    # idempotent: second call reuses the manifest (no rewrite)
+    import os
+
+    mtime = os.path.getmtime(paths[0])
+    assert ensure_stream_fixture(fx, 12, seed=1)[0] == paths[0]
+    assert os.path.getmtime(paths[0]) == mtime
+
+    r = run_streaming(
+        "n",
+        batch=4,
+        img_size=64,
+        num_classes=4,
+        images_dir=fx,
+        n_images=12,
+        threads=2,
+        depth=2,
+    )
+    assert r["mode"] == "streaming"
+    assert r["n_images"] == 12
+    assert r["sustained_img_per_s"] > 0
+    assert r["host_decode_img_per_s"] > 0
+    assert r["h2d_img_per_s"] > 0
+    assert r["device_only_img_per_s"] > 0
+    assert r["bound"] in ("host", "transfer", "device", "balanced")
 
 
 def test_cli_main_prints_json(capsys):

@@ -30,38 +30,55 @@ import json
 import time
 
 
-def _scan_rates(fn, args, k: int, reps: int):
-    """(steady_state_s, k_wall_s) per iteration of fn folded on device."""
+def _scan_rates(fn, carry, args, k: int, reps: int):
+    """(steady_state_s, k_wall_s, clamped) per iteration of fn on device.
+
+    ``fn(carry, i, *args) -> (carry, scalar)`` is folded through
+    ``lax.scan`` so the carry (e.g. a TrainState) stays live across
+    iterations — the scalar sum of every iteration's value is returned, so
+    XLA cannot dead-code-eliminate any step's work.
+    """
     import jax
     import jax.numpy as jnp
 
     def make(n):
         @jax.jit
-        def loop(*a):
+        def loop(c0, *a):
             def body(c, i):
-                return c + fn(i, *a), None
+                inner, acc = c
+                inner, val = fn(inner, i, *a)
+                return (inner, acc + val), None
 
-            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            (_, acc), _ = jax.lax.scan(body, (c0, jnp.zeros(())), jnp.arange(n))
             return acc
 
         return loop
 
     lo_f, hi_f = make(k), make(5 * k)
-    _ = jax.device_get(lo_f(*args))  # compile + warmup
-    _ = jax.device_get(hi_f(*args))
+    _ = jax.device_get(lo_f(carry, *args))  # compile + warmup
+    _ = jax.device_get(hi_f(carry, *args))
     lo, hi = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = jax.device_get(lo_f(*args))
+        _ = jax.device_get(lo_f(carry, *args))
         lo.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _ = jax.device_get(hi_f(*args))
+        _ = jax.device_get(hi_f(carry, *args))
         hi.append(time.perf_counter() - t0)
     k_wall = min(lo) / k
     marginal = (min(hi) - min(lo)) / (4 * k)
-    if not 0 < marginal <= k_wall * 1.5:  # cached/anomalous rep guard
+    clamped = not 0 < marginal <= k_wall * 1.5  # cached/anomalous rep guard
+    if clamped:
+        import sys
+
+        print(
+            "warning: steady-state marginal rate anomalous "
+            f"({marginal * 1e3:.3f} ms vs wall {k_wall * 1e3:.3f} ms); "
+            "reporting k_wall instead",
+            file=sys.stderr,
+        )
         marginal = k_wall
-    return marginal, k_wall
+    return marginal, k_wall, clamped
 
 
 def run_benchmark(
@@ -125,13 +142,16 @@ def run_benchmark(
             ).repeat(batch, axis=0),
         }
 
-        def fn(i, state, data):
+        def fn(state, i, data):
+            # The updated TrainState is threaded through the scan carry so
+            # the backward pass + optax update stay live (an unused state
+            # would let XLA dead-code-eliminate everything past the loss).
             d = dict(data)
             d["images"] = d["images"] + i.astype(jnp.float32) * 1e-3
-            _, metrics = step(state, d)
-            return metrics["total_loss"]
+            state, metrics = step(state, d)
+            return state, metrics["total_loss"]
 
-        steady, wall = _scan_rates(fn, (state, data), k, reps)
+        steady, wall, clamped = _scan_rates(fn, state, (data,), k, reps)
     else:
         model = build_model(arch, num_classes=num_classes, dtype=jnp.bfloat16)
         variables = init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
@@ -145,40 +165,305 @@ def run_benchmark(
                 rng.integers(0, 256, (batch, img_size, img_size, 3), dtype=np.uint8)
             )
 
-            def fn(i, v, imgs):
+            def fn(c, i, v, imgs):
                 x = device_normalize_images(imgs + i.astype(jnp.uint8), jnp.bfloat16)
                 with deploy_mode():
                     raw = model.apply(v, x, train=False, split_head=True)
                 out = fused_postprocess(raw, num_classes)
-                return out["scores"].sum() + out["boxes"].sum()
+                return c, out["scores"].sum() + out["boxes"].sum()
 
         elif mode == "forward":
             images = jnp.asarray(
                 rng.standard_normal((batch, img_size, img_size, 3)), jnp.bfloat16
             )
 
-            def fn(i, v, imgs):
+            def fn(c, i, v, imgs):
                 raw = model.apply(
                     v, imgs + i.astype(jnp.bfloat16) * 1e-3, train=False
                 )
-                return sum(jnp.sum(r.astype(jnp.float32)) for r in raw)
+                return c, sum(jnp.sum(r.astype(jnp.float32)) for r in raw)
 
         else:
             raise ValueError(f"unknown mode {mode!r} (forward|e2e|train)")
-        steady, wall = _scan_rates(fn, (variables, images), k, reps)
-
-    import jax as _jax
+        steady, wall, clamped = _scan_rates(
+            fn, jnp.zeros(()), (variables, images), k, reps
+        )
 
     return {
         "arch": arch,
         "mode": mode,
         "batch": batch,
         "img_size": img_size,
-        "device": str(_jax.devices()[0]),
+        "device": str(jax.devices()[0]),
         "steady_state_ms_per_batch": round(steady * 1e3, 3),
         "steady_state_img_per_s": round(batch / steady, 1),
+        "steady_state_clamped": clamped,
         "k_wall_ms_per_batch": round(wall * 1e3, 3),
         "k_wall_img_per_s": round(batch / wall, 1),
+    }
+
+
+_COCO_VAL_SHAPES = (
+    # (h, w) drawn from COCO val2017's dominant size modes: long side 640,
+    # a tail of smaller/odd aspects (dataset.py:154 pays a PIL decode per
+    # image at exactly these kinds of sizes)
+    (480, 640),
+    (427, 640),
+    (640, 480),
+    (425, 640),
+    (375, 500),
+    (612, 612),
+    (640, 426),
+    (360, 640),
+)
+
+
+def ensure_stream_fixture(
+    fixture_dir: str, n_images: int, seed: int = 0
+) -> list[str]:
+    """Disk-backed synthetic val set: real JPEGs at COCO-val size statistics,
+    written once and reused (a manifest pins n/seed). Streaming benchmarks
+    need REAL decode work — in-memory arrays would skip the libjpeg cost
+    that dominates the reference's input pipeline."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    os.makedirs(fixture_dir, exist_ok=True)
+    manifest = os.path.join(fixture_dir, "manifest.txt")
+    tag = f"{n_images} {seed} v1"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if f.read().strip() == tag:
+                paths = [
+                    os.path.join(fixture_dir, f"img_{i:05d}.jpg")
+                    for i in range(n_images)
+                ]
+                if all(os.path.exists(p) for p in paths):
+                    return paths
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(n_images):
+        h, w = _COCO_VAL_SHAPES[int(rng.integers(len(_COCO_VAL_SHAPES)))]
+        # textured content (not flat noise): JPEG entropy near natural
+        # images so huffman/IDCT cost is representative
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (
+            128
+            + 60 * np.sin(xx / (8 + i % 23))[..., None]
+            + 50 * np.cos(yy / (11 + i % 17))[..., None]
+        )
+        img = np.clip(
+            base + rng.normal(0, 18, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        p = os.path.join(fixture_dir, f"img_{i:05d}.jpg")
+        cv2.imwrite(p, img, [int(cv2.IMWRITE_JPEG_QUALITY), 90])
+        paths.append(p)
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return paths
+
+
+def run_streaming(
+    arch: str,
+    batch: int,
+    img_size: int = 640,
+    num_classes: int = 80,
+    images_dir: str | None = None,
+    n_images: int = 2048,
+    threads: int = 8,
+    depth: int = 8,
+) -> dict:
+    """Sustained end-to-end serving throughput: disk JPEG -> host decode+
+    resize (C++ loader when built) -> async H2D -> deploy graph -> decoded
+    detections, images/sec over the whole set (VERDICT r3 next-item 1; the
+    north star is "streaming COCO val2017", BASELINE.json config #3).
+
+    Pipelining: a loader thread decodes batch b+1..b+prefetch while the
+    device runs batch b; device dispatch is async with a bounded in-flight
+    window (`depth` batches) so tunnel round-trip latency overlaps compute.
+    Also measures the three legs in isolation — host decode, H2D transfer,
+    and device compute — and reports which binds. On tunneled dev
+    attachments the transfer leg can bind at ~11 MB/s; on a production
+    host (PCIe DMA) it never does, so the verdict must name it explicitly.
+    """
+    import collections
+    import os
+    import queue
+    import threading as _threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_ms_tpu.data import native_loader
+    from yolo_ms_tpu.data.augment import device_normalize_images
+    from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
+    from yolo_ms_tpu.models.registry import build_model, init_model
+    from yolo_ms_tpu.ops.postprocess import fused_postprocess
+    from yolo_ms_tpu.utils.profiler import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if images_dir is None:
+        images_dir = os.path.join("/tmp", "yolo_ms_stream_fixture")
+        paths = ensure_stream_fixture(images_dir, n_images)
+    else:
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        paths = sorted(
+            os.path.join(images_dir, f)
+            for f in os.listdir(images_dir)
+            if f.lower().endswith(exts)
+        )[:n_images]
+        if not paths:
+            raise FileNotFoundError(f"no images in {images_dir}")
+    n_batches = len(paths) // batch
+    if n_batches < 2:
+        raise ValueError(
+            f"need >= 2 full batches ({len(paths)} images / batch {batch})"
+        )
+    paths = paths[: n_batches * batch]
+    path_batches = [
+        paths[b * batch : (b + 1) * batch] for b in range(n_batches)
+    ]
+
+    native = native_loader.available()
+
+    def decode_batch(batch_paths) -> np.ndarray:
+        if native:
+            out = native_loader.decode_resize_batch(
+                batch_paths, img_size, img_size, num_threads=threads
+            )
+            if out is not None:
+                return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        from yolo_ms_tpu.data.decode import decode_and_resize
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            imgs = list(
+                pool.map(lambda p: decode_and_resize(p, img_size, img_size), batch_paths)
+            )
+        return np.stack(imgs)
+
+    model = build_model(arch, num_classes=num_classes, dtype=jnp.bfloat16)
+    variables = fold_batchnorm(
+        init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
+    )
+
+    @jax.jit
+    def e2e(v, imgs):
+        x = device_normalize_images(imgs, jnp.bfloat16)
+        with deploy_mode():
+            raw = model.apply(v, x, train=False, split_head=True)
+        return fused_postprocess(raw, num_classes)
+
+    def sync(out):
+        # device_get of a small output is the only reliable execution sync
+        # on tunneled attachments — block_until_ready can return before the
+        # remote execute drains (bench.py methodology note; the unsynced
+        # device leg read an impossible 233k img/s on the v5e tunnel)
+        jax.device_get(out["valid"])
+
+    # page-cache prewarm: the legs compare DECODE rates, and the first pass
+    # over the files would otherwise pay cold reads the later passes don't
+    # (measured 5x skew between the cold and warm leg on network storage)
+    for p in paths:
+        with open(p, "rb") as f:
+            f.read()
+
+    # warmup: compile + first decode
+    first = decode_batch(path_batches[0])
+    sync(e2e(variables, jax.device_put(first)))
+
+    import time as _time
+
+    # --- leg 1: host-only decode rate ---
+    t0 = _time.perf_counter()
+    for pb in path_batches:
+        decode_batch(pb)
+    host_s = _time.perf_counter() - t0
+    host_rate = len(paths) / host_s
+
+    # --- leg 2: H2D transfer rate (device_put of decoded uint8 batches).
+    # On a co-located production host this is PCIe/DMA and never binds; on
+    # a tunneled attachment it can be the binding leg by orders of
+    # magnitude (measured ~11 MB/s on the v5e gRPC relay), so it must be
+    # reported separately or it silently masquerades as host/device time.
+    h2d_reps = min(3, n_batches)
+    t0 = _time.perf_counter()
+    for _ in range(h2d_reps):
+        r = jax.device_put(first)
+        jax.device_get(r[0, 0, 0])  # force the copy to complete
+    h2d_s = (_time.perf_counter() - t0) / h2d_reps
+    h2d_rate = batch / h2d_s
+    h2d_mb_s = first.nbytes / h2d_s / 1e6
+
+    # --- leg 3: device-only rate, pipelined dispatch (all batches enqueued,
+    # one final sync — per-dispatch sync would charge the tunnel round-trip
+    # to the device; this matches the lax.scan steady-state methodology) ---
+    resident = jax.device_put(first)
+    sync(e2e(variables, resident))
+    t0 = _time.perf_counter()
+    last = None
+    for _ in range(n_batches):
+        last = e2e(variables, resident)
+    sync(last)
+    dev_s = _time.perf_counter() - t0
+    dev_rate = len(paths) / dev_s
+
+    # --- sustained: decode thread feeds H2D'd batches, device pipelined ---
+    q: queue.Queue = queue.Queue(maxsize=max(2, depth // 2))
+
+    def loader():
+        for pb in path_batches:
+            q.put(jax.device_put(decode_batch(pb)))
+        q.put(None)
+
+    t = _threading.Thread(target=loader, daemon=True)
+    t0 = _time.perf_counter()
+    t.start()
+    window = collections.deque()
+    done = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        window.append(e2e(variables, item))
+        done += 1
+        if len(window) > depth:
+            sync(window.popleft())
+    for o in window:
+        sync(o)
+    sustained_s = _time.perf_counter() - t0
+    sustained = len(paths) / sustained_s
+    assert done == n_batches
+
+    legs = {
+        "host": host_rate,
+        "transfer": h2d_rate,
+        "device": dev_rate,
+    }
+    bound = min(legs, key=legs.get)
+    rates = sorted(legs.values())
+    if rates[0] > 0.9 * rates[1]:
+        bound = "balanced"
+    return {
+        "arch": arch,
+        "mode": "streaming",
+        "batch": batch,
+        "img_size": img_size,
+        "n_images": len(paths),
+        "threads": threads,
+        "native_loader": native,
+        "device": str(jax.devices()[0]),
+        "sustained_img_per_s": round(sustained, 1),
+        "host_decode_img_per_s": round(host_rate, 1),
+        "h2d_img_per_s": round(h2d_rate, 1),
+        "h2d_mb_per_s": round(h2d_mb_s, 1),
+        "device_only_img_per_s": round(dev_rate, 1),
+        "bound": bound,
     }
 
 
@@ -186,21 +471,41 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--arch", default="yolo-ms-xs", help="any registry name")
     p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--mode", default="e2e", choices=["forward", "e2e", "train"])
+    p.add_argument(
+        "--mode",
+        default="e2e",
+        choices=["forward", "e2e", "train", "streaming"],
+    )
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--num_classes", type=int, default=80)
     p.add_argument("--k", type=int, default=10, help="scan iterations")
     p.add_argument("--reps", type=int, default=3)
-    args = p.parse_args(argv)
-    report = run_benchmark(
-        args.arch,
-        args.batch,
-        mode=args.mode,
-        img_size=args.img_size,
-        num_classes=args.num_classes,
-        k=args.k,
-        reps=args.reps,
+    p.add_argument(
+        "--images", default=None, help="streaming: image dir (default: synthetic fixture)"
     )
+    p.add_argument("--n_images", type=int, default=2048, help="streaming: set size")
+    p.add_argument("--threads", type=int, default=8, help="streaming: decode threads")
+    args = p.parse_args(argv)
+    if args.mode == "streaming":
+        report = run_streaming(
+            args.arch,
+            args.batch,
+            img_size=args.img_size,
+            num_classes=args.num_classes,
+            images_dir=args.images,
+            n_images=args.n_images,
+            threads=args.threads,
+        )
+    else:
+        report = run_benchmark(
+            args.arch,
+            args.batch,
+            mode=args.mode,
+            img_size=args.img_size,
+            num_classes=args.num_classes,
+            k=args.k,
+            reps=args.reps,
+        )
     print(json.dumps(report))
 
 
