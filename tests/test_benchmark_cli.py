@@ -122,6 +122,58 @@ def test_streaming_fixture_and_run(tmp_path):
     assert r["h2d_img_per_s"] > 0
     assert r["device_only_img_per_s"] > 0
     assert r["bound"] in ("host", "transfer", "device", "balanced")
+    # burst-proof decode cost: CPU-seconds per image (user+sys, incl. the
+    # loader's pthread pool) and the derived cores-per-chip requirement
+    assert r["host_decode_cpu_s_per_img"] > 0
+    assert r["cores_per_chip_derived"] > 0
+
+
+def test_pipelined_sustained_overlap():
+    """VERDICT r4 item 4: the streaming harness's overlap accounting has to
+    deliver sustained ≈ the slower leg alone at ANY host:device ratio — the
+    tunnel attachment can't produce calibrated ratios, synthetic legs can.
+
+    The 'device' is modeled as a single-lane async queue (a 1-thread
+    executor): dispatch is non-blocking, sync drains one handle — exactly
+    the contract the real device dispatch satisfies. The 'host' leg is a
+    sleep on the producer thread. For per-item costs (h, d), pipelined wall
+    per item must approach max(h, d); with no overlap it would be h + d —
+    the assertions reject the no-overlap wall, so a harness that silently
+    serializes fails this test.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yolo_ms_tpu.tools.benchmark import pipelined_sustained
+
+    n = 24
+    for h_ms, d_ms in ((30.0, 10.0), (10.0, 30.0), (20.0, 20.0)):
+        with ThreadPoolExecutor(max_workers=1) as device:
+
+            def produce(_):
+                time.sleep(h_ms / 1e3)
+                return object()
+
+            def dispatch(_payload):
+                return device.submit(time.sleep, d_ms / 1e3)
+
+            elapsed, done = pipelined_sustained(
+                range(n), produce, dispatch, lambda f: f.result(), depth=4
+            )
+        assert done == n
+        per_item_ms = elapsed / n * 1e3
+        floor = max(h_ms, d_ms)  # perfect overlap
+        serial = h_ms + d_ms  # no overlap
+        # generous tolerance for the 1-core CI host; the key property is
+        # that the wall tracks the slower LEG, not the leg SUM
+        assert per_item_ms < floor + 0.45 * (serial - floor), (
+            f"h={h_ms} d={d_ms}: {per_item_ms:.1f} ms/item — overlap lost "
+            f"(floor {floor}, serial {serial})"
+        )
+        assert per_item_ms > 0.9 * floor, (
+            f"h={h_ms} d={d_ms}: {per_item_ms:.1f} ms/item is faster than "
+            f"the slower leg — the harness is not timing real work"
+        )
 
 
 def test_cli_main_prints_json(capsys):

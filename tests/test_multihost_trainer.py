@@ -49,6 +49,9 @@ assert jax.device_count() == 4, jax.device_count()
 from yolo_ms_tpu.train.trainer import Trainer
 from yolo_ms_tpu.utils.config import Config
 
+gbs = int(os.environ.get("MH_BS", "4"))
+epochs = int(os.environ.get("MH_EPOCHS", "1"))
+exp = os.environ.get("MH_EXP", "mh_" + mode)
 cfg = Config.from_dict(
     {
         "dataset": {
@@ -62,14 +65,17 @@ cfg = Config.from_dict(
         },
         "model": {"architecture": "n", "input_size": [64, 64]},
         "training": {
-            "batch_size": 4,  # GLOBAL batch
-            "epochs": 1,
+            "batch_size": gbs,  # GLOBAL batch
+            "epochs": epochs,
             "learning_rate": 1e-3,
             "optimizer": "adam",
             "weight_decay": 0.0,
-            "experiment_name": "mh_" + mode,
+            "experiment_name": exp,
             "log_dir": os.path.join(data_root, "runs"),
             "augmentation": {"fliplr": 0.5},
+            # fit-mode drills skip end-of-epoch validation (compile cost on
+            # the 1-core host); the equality test below covers validate()
+            "val_interval": 100 if os.environ.get("MH_FIT") == "1" else 1,
         },
         "evaluation": {"batch_size": 4, "confidence_threshold": 0.05},
         "workers": 1,
@@ -78,22 +84,74 @@ cfg = Config.from_dict(
 trainer = Trainer(cfg, verbose=False)
 if mode == "dist":
     # the feed is genuinely sharded: each host decodes HALF the global batch
-    assert trainer.train_loader.local_batch_size == 2
+    assert trainer.train_loader.local_batch_size == gbs // 2
 assert trainer._eval_sharded, "eval batch must shard over the 4-device mesh"
 
 if os.environ.get("MH_PREEMPT") == "1":
-    # preemption drill: install the handler, signal readiness, and idle —
-    # the parent SIGTERMs both processes; every process drains, the
-    # primary saves preempt.ckpt, and all exit 128+15. No train step here:
-    # the equality test covers the compute path, and skipping the compile
-    # keeps the drill free of the 1-core host's Gloo-init/compile skew.
+    # idle-path preemption drill: install the handler, signal readiness, and
+    # idle — the parent SIGTERMs both processes; every process drains, the
+    # primary saves preempt.ckpt, and all exit 128+15. The handler takes the
+    # DIRECT save path here (no step in flight); the under-load/deferred
+    # path is covered by the MH_FIT drill below.
     import time
-    trainer._current_epoch = 0
-    trainer._current_step = 1
+    # cursor (1, 0): preempted before the first commit of epoch 1 — the
+    # save must encode it as "epoch 0 complete" (see _save_preempt_and_exit)
+    trainer._cursor = (1, 0)
     trainer._install_preemption_handler()
     print("READY", flush=True)
     time.sleep(300)
     sys.exit(99)  # signal never arrived
+
+if os.environ.get("MH_FIT") == "1":
+    # Real fit() drills (VERDICT r4 item 2): per-step loss recording, an
+    # optional self-delivered SIGTERM while step MH_SNIPE_STEP's collectives
+    # are still in flight (async dispatch; fit's _step_active window), and
+    # an optional resume from a preemption checkpoint.
+    import signal
+
+    snipe = int(os.environ.get("MH_SNIPE_STEP", "-1"))
+    resume_path = os.environ.get("MH_RESUME", "")
+    if resume_path:
+        trainer.resume(resume_path)
+    spe = len(trainer.train_loader)
+    offset = trainer.start_epoch * spe + trainer.start_step
+    records = []  # (global_step_index, device scalar — fetched at exit)
+    orig_run = trainer._run_synced
+
+    def wrapped(tag, fn, *a):
+        out = orig_run(tag, fn, *a)
+        if tag == "train_step":
+            i = offset + len(records)
+            records.append((i, out[1]["total_loss"]))  # async device scalar
+            if i == snipe:
+                # A real SIGTERM delivered inside fit's in-flight window:
+                # the dispatched step (with its cross-process collectives)
+                # has NOT been drained — the handler must defer to the
+                # commit point, whose save then drains it.
+                os.kill(os.getpid(), signal.SIGTERM)
+                assert trainer._preempt_signum == signal.SIGTERM
+                assert trainer._step_active, "snipe outside in-flight window"
+                print("DEFERRED inflight=True", flush=True)
+        return out
+
+    trainer._run_synced = wrapped
+    rc = 0
+    try:
+        trainer.fit()
+    except SystemExit as e:
+        rc = int(e.code or 0)
+    for i, v in records:
+        print("STEPLOSS %d %.9f" % (i, float(jax.device_get(v))), flush=True)
+    print("FITDONE rc=%d" % rc, flush=True)
+    sys.exit(rc)
+
+if mode == "dist":
+    # pod val feed: images decoded per-host (2 of 4 rows), targets global
+    assert trainer.val_loader.shard_images_only
+    vb = next(iter(trainer.val_loader.epoch(0)))
+    assert vb["images"].shape[0] == 2, vb["images"].shape
+    assert vb["boxes"].shape[0] == 4, vb["boxes"].shape
+    assert vb["num_valid"] == 4
 
 batch = next(iter(trainer.train_loader.epoch(0)))
 hb = {k: batch[k] for k in ("images", "boxes", "labels", "mask")}
@@ -244,6 +302,111 @@ def test_two_process_preemption_saves_and_restores(data_root, tmp_path):
     from yolo_ms_tpu.utils.checkpoint import restore_checkpoint
 
     restored = restore_checkpoint(ckpt)
+    # cursor (1, 0) — no commits yet in epoch 1 — encodes as epoch-0-complete
     assert int(restored["epoch"]) == 0
-    assert int(restored["step_in_epoch"]) == 1
+    assert int(restored["step_in_epoch"]) == 0
     assert "state" in restored
+
+
+def _run_dist_fit(data_root, extra_env, timeout=900):
+    """Launch a 2-process fit-mode worker pair; return (returncodes, outs)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = _env(2)
+    env["MH_FIT"] = "1"
+    env.update(extra_env)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, "dist", data_root, coord, str(i)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    return [p.returncode for p in procs], outs
+
+
+def _steplosses(out: str) -> dict:
+    got = {}
+    for line in out.splitlines():
+        if line.startswith("STEPLOSS"):
+            _, i, v = line.split()
+            got[int(i)] = float(v)
+    return got
+
+
+def test_preemption_under_load_and_resume_equality(data_root):
+    """VERDICT r4 item 2: (a) SIGTERM delivered while a train step's
+    cross-process collectives are IN FLIGHT on the 2-process mesh — the
+    handler must defer to the commit point, the commit-point save must drain
+    the collective, and every process exits 128+SIGTERM; (b) preempt →
+    restore → continue must equal the uninterrupted run step for step.
+
+    Three real 2-process fits on the same 4-device mesh (global bs=4 — the
+    smallest that shards over 4 devices — x 2 epochs → global steps 0..3
+    over the 8-image set, each host decoding 2 rows/step):
+
+      U  uninterrupted 2-epoch run — per-step losses 0..3
+      P  same run, self-SIGTERM while global step 2 (epoch 1, step 0) is in
+         flight → deferred save commits (epoch 1, step 1) to preempt.ckpt,
+         exits 143
+      R  resume(preempt.ckpt) → runs exactly step 3
+
+    R's losses must match U's: the restored state, optimizer, PRNG, and the
+    deterministic mid-epoch loader position all have to line up exactly.
+    """
+    import signal
+
+    base = {"MH_BS": "4", "MH_EPOCHS": "2"}
+
+    rcs, outs = _run_dist_fit(data_root, {**base, "MH_EXP": "mh_u"})
+    assert rcs == [0, 0], outs[0][-3000:] + outs[1][-3000:]
+    ref = _steplosses(outs[0])
+    assert sorted(ref) == [0, 1, 2, 3], ref
+    # both processes observed the same replicated loss
+    assert _steplosses(outs[1]) == pytest.approx(ref, rel=1e-6)
+
+    rcs, outs = _run_dist_fit(
+        data_root,
+        {**base, "MH_EXP": "mh_p", "MH_SNIPE_STEP": "2",
+         "YOLO_MS_PREEMPT_GRACE_S": "60"},
+    )
+    term = 128 + signal.SIGTERM
+    assert rcs == [term, term], outs[0][-3000:] + outs[1][-3000:]
+    for i, out in enumerate(outs):
+        assert "DEFERRED inflight=True" in out, (
+            f"proc {i} did not take the deferred path:\n{out[-2000:]}"
+        )
+    ckpt = os.path.join(data_root, "runs", "mh_p", "weights", "preempt.ckpt")
+    assert os.path.exists(ckpt), "no preemption ckpt from the under-load drill"
+    from yolo_ms_tpu.utils.checkpoint import restore_checkpoint
+
+    restored = restore_checkpoint(ckpt)
+    assert int(restored["epoch"]) == 1
+    assert int(restored["step_in_epoch"]) == 1, (
+        "commit point must record exactly the steps that were committed"
+    )
+    # P's committed prefix matches U (same data, same init, same seeds)
+    plosses = _steplosses(outs[0])
+    assert sorted(plosses) == [0, 1, 2], plosses
+    for i in plosses:
+        assert plosses[i] == pytest.approx(ref[i], rel=1e-5)
+
+    rcs, outs = _run_dist_fit(
+        data_root, {**base, "MH_EXP": "mh_r", "MH_RESUME": ckpt}
+    )
+    assert rcs == [0, 0], outs[0][-3000:] + outs[1][-3000:]
+    for i, out in enumerate(outs):
+        got = _steplosses(out)
+        assert sorted(got) == [3], (
+            f"proc {i} resumed at the wrong loader position: {got}"
+        )
+        for k in got:
+            assert got[k] == pytest.approx(ref[k], rel=1e-5), (
+                f"proc {i} step {k}: resumed {got[k]} vs uninterrupted {ref[k]}"
+            )

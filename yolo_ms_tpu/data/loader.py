@@ -55,6 +55,7 @@ class DetectionLoader:
         multiscale_sizes: list[int] | None = None,
         multiscale_interval: int = 10,
         process_shard: tuple[int, int] | None = None,
+        shard_images_only: bool = False,
     ):
         # device_normalize=True emits raw uint8 pixels (the whole augment
         # pipeline is uint8 end-to-end); the consumer normalizes on device.
@@ -80,6 +81,16 @@ class DetectionLoader:
             )
         self._shard_index, self._shard_count = idx_, cnt_
         self.local_batch_size = batch_size // cnt_
+        # Pod VAL feed (VERDICT r4 item 6): decode images only for THIS
+        # host's rows, but keep targets (boxes/labels/mask/num_valid) for
+        # the FULL global batch — predictions come back replicated from the
+        # DP-sharded eval forward, so every host accumulates mAP over the
+        # identical global (prediction, target) stream while no host decodes
+        # a JPEG another host's devices own. Eval-only: the train feed
+        # shards targets too (the loss is computed on-device, sharded).
+        self.shard_images_only = bool(shard_images_only)
+        if self.shard_images_only and is_train:
+            raise ValueError("shard_images_only is an eval-feed mode")
         self.img_h, self.img_w = img_size
         self.max_gt = max_gt
         self.is_train = is_train
@@ -186,30 +197,19 @@ class DetectionLoader:
             out_m[:n] = True
         return out_b, out_l, out_m
 
-    def _produce_native_eval(self, batch_ids, order):
-        """Whole-batch fused decode+resize through the C++ loader
-        (native/loader.cpp): one call decodes every JPEG/PNG of the batch on
-        a pthread pool directly into the [B, H, W, 3] uint8 output — no
-        per-image Python round trips. Eval-path only (plain resize, no
-        augmentation, dataset.py:132-136 semantics); returns None when the
-        .so isn't built or the dataset lacks path/size metadata, and the
-        caller falls back to the per-sample path."""
-        from yolo_ms_tpu.data import native_loader
+    def _eval_targets_from_metadata(self, batch_ids, order):
+        """Eval targets (padded boxes/labels/mask lists) computed purely from
+        the dataset's annotation metadata — no image decode. The box math is
+        the plain-resize scaling of EvalTransform (dataset.py:132-136
+        semantics) driven by the ANNOTATED image dims. Returns None when the
+        dataset lacks per-sample path/size metadata."""
         from yolo_ms_tpu.data.augment import _filter_boxes
 
-        if not native_loader.available() or not hasattr(self.ds, "samples"):
+        if not hasattr(self.ds, "samples"):
             return None
         samples = [self.ds.samples[int(order[i])] for i in batch_ids]
         if any(s.width <= 0 or s.height <= 0 for s in samples):
             return None  # no annotated dims -> cannot scale boxes
-        imgs = native_loader.decode_resize_batch(
-            [s.path for s in samples],
-            self.img_h,
-            self.img_w,
-            num_threads=self.num_workers,
-        )
-        if imgs is None:
-            return None
         bs, ls, ms = [], [], []
         for s in samples:
             boxes = coco_to_xyxy(s.boxes_xywh) * np.asarray(
@@ -225,9 +225,111 @@ class DetectionLoader:
             bs.append(b)
             ls.append(l)
             ms.append(m)
+        return bs, ls, ms
+
+    def _produce_native_eval(self, batch_ids, order):
+        """Whole-batch fused decode+resize through the C++ loader
+        (native/loader.cpp): one call decodes every JPEG/PNG of the batch on
+        a pthread pool directly into the [B, H, W, 3] uint8 output — no
+        per-image Python round trips. Eval-path only (plain resize, no
+        augmentation, dataset.py:132-136 semantics); returns None when the
+        .so isn't built or the dataset lacks path/size metadata, and the
+        caller falls back to the per-sample path."""
+        targets = self._eval_targets_from_metadata(batch_ids, order)
+        if targets is None:
+            return None
+        imgs = self._decode_eval_images_native(batch_ids, order)
+        if imgs is None:
+            return None
+        bs, ls, ms = targets
+        return imgs, bs, ls, ms
+
+    def _decode_eval_images_native(self, batch_ids, order):
+        """Decode+resize(+normalize) just the IMAGES of the given rows via
+        the C++ loader; None when unavailable."""
+        from yolo_ms_tpu.data import native_loader
+
+        if not native_loader.available() or not hasattr(self.ds, "samples"):
+            return None
+        samples = [self.ds.samples[int(order[i])] for i in batch_ids]
+        imgs = native_loader.decode_resize_batch(
+            [s.path for s in samples],
+            self.img_h,
+            self.img_w,
+            num_threads=self.num_workers,
+        )
+        if imgs is None:
+            return None
         if not self.device_normalize:
             imgs = np.stack([normalize_imagenet(im) for im in imgs])
-        return imgs, bs, ls, ms
+        return imgs
+
+    def _produce_eval_images_sharded(self, batch_ids, order, pool):
+        """shard_images_only produce: targets for the FULL global batch from
+        annotation metadata, image decode for only this host's rows. Falls
+        back to full-batch decode when the dataset lacks metadata (rare:
+        only synthetic in-memory datasets) — still correct, just without
+        the decode saving."""
+        lo = self._shard_index * self.local_batch_size
+        local_ids = batch_ids[lo : lo + self.local_batch_size]
+        targets = self._eval_targets_from_metadata(batch_ids, order)
+        imgs = None
+        if targets is not None:
+            imgs = self._decode_eval_images_native(local_ids, order)
+            if imgs is None:
+                # per-sample Python decode of just the local rows
+                def img_of(i):
+                    img, boxes, labels = self._load_xyxy(int(order[i]))
+                    img, _, _ = self.transform(img, boxes, labels)
+                    return img if self.device_normalize else normalize_imagenet(img)
+
+                imgs = (
+                    list(pool.map(img_of, local_ids))
+                    if self.num_workers > 1
+                    else [img_of(i) for i in local_ids]
+                )
+        else:
+            # no metadata: decode the full batch, keep the local image rows
+            def full(i):
+                img, boxes, labels = self._load_xyxy(int(order[i]))
+                img, boxes, labels = self.transform(img, boxes, labels)
+                if not self.device_normalize:
+                    img = normalize_imagenet(img)
+                return (img,) + self._pad_targets(
+                    boxes, labels, (self.img_h, self.img_w)
+                )
+
+            results = (
+                list(pool.map(full, batch_ids))
+                if self.num_workers > 1
+                else [full(i) for i in batch_ids]
+            )
+            targets = (
+                [r[1] for r in results],
+                [r[2] for r in results],
+                [r[3] for r in results],
+            )
+            imgs = [r[0] for r in results][lo : lo + self.local_batch_size]
+        bs, ls, ms = targets
+        # pad images to the LOCAL batch size, targets to the GLOBAL one;
+        # num_valid counts the GLOBAL valid rows (mAP iterates targets)
+        img_dtype = np.uint8 if self.device_normalize else np.float32
+        zero_img = np.zeros((self.img_h, self.img_w, 3), img_dtype)
+        imgs = list(imgs)
+        while len(imgs) < self.local_batch_size:
+            imgs.append(zero_img)
+        valid = len(batch_ids)
+        while len(bs) < self.batch_size:
+            bs.append(np.zeros((self.max_gt, 4), np.float32))
+            ls.append(np.zeros((self.max_gt,), np.int32))
+            ms.append(np.zeros((self.max_gt,), bool))
+        return {
+            "images": np.stack(imgs),
+            "boxes": np.stack(bs),
+            "labels": np.stack(ls),
+            "mask": np.stack(ms),
+            "num_valid": valid,
+        }
 
     def _finish_batch(self, imgs, bs, ls, ms) -> dict:
         """Pad a short (final) batch to the LOCAL batch size with zero
@@ -291,6 +393,10 @@ class DetectionLoader:
 
         def produce(batch_ids, batch_idx):
             hw = self._hw_for_batch(epoch, batch_idx)
+            if self._shard_count > 1 and self.shard_images_only:
+                return self._produce_eval_images_sharded(
+                    list(batch_ids), order, pool
+                )
             if self._shard_count > 1:
                 lo = self._shard_index * self.local_batch_size
                 batch_ids = batch_ids[lo : lo + self.local_batch_size]

@@ -111,6 +111,12 @@ class dw_isolation:
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97  # flax decay == 1 - torch momentum (0.03)
 
+# Probe-only (benchmarks/r5_bn_probe.py): freeze BN to running stats even
+# under train=True, to MEASURE the attributable cost of train-mode batch
+# statistics (the stats reduce + [C] stat writes). Semantically wrong for
+# training — never enable outside the probe; read at trace time.
+_PROBE_BN_FROZEN = False
+
 
 def yolo_params(version: str) -> tuple[float, float, float]:
     """(depth, width, ratio) multipliers per model version.
@@ -279,7 +285,7 @@ class ConvBnSiLU(nn.Module):
             )(x)
         if not deploy:
             x = nn.BatchNorm(
-                use_running_average=not train,
+                use_running_average=(not train) or _PROBE_BN_FROZEN,
                 momentum=BN_MOMENTUM,
                 epsilon=BN_EPS,
                 dtype=self.dtype,

@@ -30,6 +30,47 @@ import json
 import time
 
 
+def pipelined_sustained(items, produce, dispatch, sync, depth: int = 8):
+    """Producer/consumer overlap harness used by the streaming benchmark:
+    one loader thread runs ``produce(item)`` (the host leg) while the main
+    thread issues ``dispatch(payload)`` (async device dispatch) with a
+    bounded in-flight window of ``depth`` handles drained via ``sync``.
+
+    Returns ``(elapsed_seconds, n_dispatched)``. Extracted so the overlap
+    accounting itself is testable with calibrated synthetic legs (VERDICT
+    r4 item 4): with produce/dispatch costs h and d per item, sustained
+    wall per item must approach ``max(h, d)`` — i.e. throughput ≈ the
+    slower leg alone — for h >> d, h ≈ d, and h << d alike.
+    """
+    import collections
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=max(2, depth // 2))
+
+    def loader():
+        for it in items:
+            q.put(produce(it))
+        q.put(None)
+
+    t = threading.Thread(target=loader, daemon=True)
+    t0 = time.perf_counter()
+    t.start()
+    window = collections.deque()
+    done = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        window.append(dispatch(item))
+        done += 1
+        if len(window) > depth:
+            sync(window.popleft())
+    for o in window:
+        sync(o)
+    return time.perf_counter() - t0, done
+
+
 def _scan_rates(fn, carry, args, k: int, reps: int):
     """(steady_state_s, k_wall_s, clamped) per iteration of fn on device.
 
@@ -288,10 +329,7 @@ def run_streaming(
     attachments the transfer leg can bind at ~11 MB/s; on a production
     host (PCIe DMA) it never does, so the verdict must name it explicitly.
     """
-    import collections
     import os
-    import queue
-    import threading as _threading
 
     import jax
     import jax.numpy as jnp
@@ -379,11 +417,22 @@ def run_streaming(
 
     import time as _time
 
-    # --- leg 1: host-only decode rate ---
+    # --- leg 1: host-only decode rate. Wall-clock rate is meaningless on a
+    # burstable shared VM (VERDICT r4 item 3: 10x swings) — the portable
+    # number is CPU-seconds per decoded image (user+sys via getrusage,
+    # which includes the C++ loader's pthread pool), from which
+    # cores-per-chip = device_rate * cpu_s_per_image is DERIVED rather than
+    # extrapolated from a burst wall rate. ---
+    import resource
+
+    r0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = _time.perf_counter()
     for pb in path_batches:
         decode_batch(pb)
     host_s = _time.perf_counter() - t0
+    r1 = resource.getrusage(resource.RUSAGE_SELF)
+    host_cpu_s = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    host_cpu_s_per_img = host_cpu_s / len(paths)
     host_rate = len(paths) / host_s
 
     # --- leg 2: H2D transfer rate (device_put of decoded uint8 batches).
@@ -413,30 +462,16 @@ def run_streaming(
     dev_s = _time.perf_counter() - t0
     dev_rate = len(paths) / dev_s
 
-    # --- sustained: decode thread feeds H2D'd batches, device pipelined ---
-    q: queue.Queue = queue.Queue(maxsize=max(2, depth // 2))
-
-    def loader():
-        for pb in path_batches:
-            q.put(jax.device_put(decode_batch(pb)))
-        q.put(None)
-
-    t = _threading.Thread(target=loader, daemon=True)
-    t0 = _time.perf_counter()
-    t.start()
-    window = collections.deque()
-    done = 0
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        window.append(e2e(variables, item))
-        done += 1
-        if len(window) > depth:
-            sync(window.popleft())
-    for o in window:
-        sync(o)
-    sustained_s = _time.perf_counter() - t0
+    # --- sustained: decode thread feeds H2D'd batches, device pipelined
+    # (overlap harness validated with calibrated legs in
+    # tests/test_benchmark_cli.py::test_pipelined_sustained_overlap) ---
+    sustained_s, done = pipelined_sustained(
+        path_batches,
+        produce=lambda pb: jax.device_put(decode_batch(pb)),
+        dispatch=lambda item: e2e(variables, item),
+        sync=sync,
+        depth=depth,
+    )
     sustained = len(paths) / sustained_s
     assert done == n_batches
 
@@ -460,6 +495,9 @@ def run_streaming(
         "device": str(jax.devices()[0]),
         "sustained_img_per_s": round(sustained, 1),
         "host_decode_img_per_s": round(host_rate, 1),
+        # burst-proof decode cost + the derived feed requirement
+        "host_decode_cpu_s_per_img": round(host_cpu_s_per_img, 6),
+        "cores_per_chip_derived": round(dev_rate * host_cpu_s_per_img, 2),
         "h2d_img_per_s": round(h2d_rate, 1),
         "h2d_mb_per_s": round(h2d_mb_s, 1),
         "device_only_img_per_s": round(dev_rate, 1),

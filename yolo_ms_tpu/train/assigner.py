@@ -32,6 +32,31 @@ from yolo_ms_tpu.ops.iou import bbox_iou
 # in production code; read at trace time.
 _PROBE_CLS_DOT_BARRIER = False
 
+# Trace-time A/B variants (benchmarks/r5_assigner_ab.py; VERDICT r4 item 1).
+# Every variant is bit-identical to the default by construction
+# (tests/test_assigner_variants.py asserts exact equality); the flags pick
+# which lowering the jit trace emits.
+#   _VARIANT_CLS:  "einsum" (default) | "pad128" | "swap" | "gather"
+#   _VARIANT_TOPK: "argmax" (default) | "block"
+_VARIANT_CLS = "einsum"
+_VARIANT_TOPK = "argmax"
+# Block size for the "block" top-k: the largest divisor of A in [64, 512]
+# closest to 256 (8400 anchors -> 336x25 blocks).
+_BLOCK_S_RANGE = (64, 512)
+
+
+def _pick_block_s(a: int) -> int | None:
+    lo, hi = _BLOCK_S_RANGE
+    best = None
+    for s in range(lo, min(hi, a - 1) + 1):
+        # s == a would make ONE block (the hierarchy degenerates to the
+        # flat argmax with extra gathers) — require at least two blocks
+        if a % s == 0 and 2 * s <= a and (
+            best is None or abs(s - 256) < abs(best - 256)
+        ):
+            best = s
+    return best
+
 
 @partial(jax.jit, static_argnames=("topk", "alpha", "beta", "num_classes"))
 def task_aligned_assign(
@@ -86,12 +111,39 @@ def task_aligned_assign(
     # gathers are slow): [B,A,nc] x [B,M,nc] -> [B,M,A]. Emitted directly
     # in bf16 (accumulation is still f32 on the MXU) so the [B,M,A] f32
     # intermediate never reaches HBM.
-    cls_scores = jnp.einsum(
-        "ban,bmn->bma",
-        pd_scores,
-        gt_cls_onehot,
-        preferred_element_type=jnp.bfloat16,
-    )
+    if _VARIANT_CLS == "pad128":
+        # pad the contraction axis nc -> next multiple of 128 (the MXU tile)
+        # with zeros — exact: trailing f32-accumulated zeros change nothing
+        ncp = -(-num_classes // 128) * 128
+        cls_scores = jnp.einsum(
+            "ban,bmn->bma",
+            jnp.pad(pd_scores, ((0, 0), (0, 0), (0, ncp - num_classes))),
+            jax.nn.one_hot(gt_cls, ncp, dtype=pd_scores.dtype),
+            preferred_element_type=jnp.bfloat16,
+        )
+    elif _VARIANT_CLS == "swap":
+        # operand order swap — lets XLA's layout assignment see the small
+        # [B,M,nc] operand first
+        cls_scores = jnp.einsum(
+            "bmn,ban->bma",
+            gt_cls_onehot,
+            pd_scores,
+            preferred_element_type=jnp.bfloat16,
+        )
+    elif _VARIANT_CLS == "gather":
+        # dynamic gather instead of the MXU contraction: transpose scores to
+        # [B,nc,A] (contiguous A rows), pull each gt's class row
+        pt = pd_scores.swapaxes(1, 2)  # [B, nc, A]
+        cls_scores = jnp.take_along_axis(
+            pt, gt_cls[:, :, None], axis=1
+        ).astype(jnp.bfloat16)
+    else:
+        cls_scores = jnp.einsum(
+            "ban,bmn->bma",
+            pd_scores,
+            gt_cls_onehot,
+            preferred_element_type=jnp.bfloat16,
+        )
     # Measured dead end (r3, benchmarks/assigner_barrier_probe.py): this dot
     # profiles at only ~5 TFLOP/s fused with the metric pow/where epilogue
     # (4.4 ms), but an optimization_barrier isolating it made the whole step
@@ -131,29 +183,72 @@ def task_aligned_assign(
     neg = jnp.bfloat16(-1.0)
     picked: list = []
 
-    def masked_metric():
-        # metric with every already-picked position replaced by -1, built as
-        # a chain of j inline wheres that XLA fuses INTO the consuming
-        # reduce. The r2/r3 loop instead wrote the masked tensor back each
-        # iteration — 10 extra [B, M, A] HBM writes (275 MB each at
-        # bs=128/max_gt=128); the compare-against-j-indices form re-reads
-        # only the original metric. O(k^2/2) extra VPU compares, which ride
-        # the memory-bound reduce for free.
-        m_ = metric
+    block_s = _pick_block_s(a) if _VARIANT_TOPK == "block" else None
+    if block_s is not None:
+        # Hierarchical two-level top-k: the k flat argmax passes each re-read
+        # the whole [B, M, A] metric (10 x 275 MB at bs=128/max_gt=128); here
+        # ONE full-read pass builds per-block maxima [B, M, G], and each of
+        # the k picks then touches only the winning block ([B, M, S] gather +
+        # tiny [B, M, G] updates). Bit-identical tie-breaking: argmax over
+        # block maxima returns the LOWEST block holding the global max, and
+        # the in-block argmax the lowest offset — together the lowest global
+        # index, exactly the flat argmax's choice.
+        g_cnt = a // block_s
+        mb = metric.reshape(*metric.shape[:-1], g_cnt, block_s)
+        blockmax = mb.max(axis=-1)  # [B, M, G] — the one full read
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, blockmax.shape, 2)
+        iota_s = jax.lax.broadcasted_iota(
+            jnp.int32, (*metric.shape[:-1], block_s), 2
+        )
+        for _ in range(k):
+            g = jnp.argmax(blockmax, axis=-1)  # [B, M]
+            blk = jnp.take_along_axis(mb, g[..., None, None], axis=2)[
+                ..., 0, :
+            ]  # [B, M, S]
+            base = g * block_s
+            for p in picked:
+                # mask earlier picks landing in this block (p - base outside
+                # [0, S) when the pick was in another block -> no match)
+                blk = jnp.where(iota_s == (p - base)[..., None], neg, blk)
+            s_loc = jnp.argmax(blk, axis=-1)  # [B, M]
+            picked.append(base + s_loc)
+            # the picked block's max with the new pick masked out
+            newmax = jnp.where(iota_s == s_loc[..., None], neg, blk).max(-1)
+            blockmax = jnp.where(
+                iota_g == g[..., None], newmax[..., None], blockmax
+            )
+        masked_final = metric
         for p in picked:
-            m_ = jnp.where(col == p[..., None], neg, m_)
-        return m_
+            masked_final = jnp.where(col == p[..., None], neg, masked_final)
+        sel = (masked_final < jnp.bfloat16(0)) & (metric > eps)
+        mask_pos = sel & mask_in
+    else:
 
-    for _ in range(k):
-        picked.append(jnp.argmax(masked_metric(), axis=-1))  # [B, M]
-    # The final masked metric encodes the selection directly: metric >= 0
-    # everywhere (cls^a * iou^b, zeroed outside mask_in) and exactly the k
-    # argmax picks read as -1 — so picked <=> masked < 0. The (> eps) guard
-    # drops zero-metric picks (argmax exhausting a row): a pick's value at
-    # pick time IS its metric, since earlier picks only mask their own
-    # positions. No [B, M, A, k] one-hot rebuild pass is ever built.
-    sel = (masked_metric() < jnp.bfloat16(0)) & (metric > eps)
-    mask_pos = sel & mask_in
+        def masked_metric():
+            # metric with every already-picked position replaced by -1,
+            # built as a chain of j inline wheres that XLA fuses INTO the
+            # consuming reduce. The r2/r3 loop instead wrote the masked
+            # tensor back each iteration — 10 extra [B, M, A] HBM writes
+            # (275 MB each at bs=128/max_gt=128); the
+            # compare-against-j-indices form re-reads only the original
+            # metric. O(k^2/2) extra VPU compares, which ride the
+            # memory-bound reduce for free.
+            m_ = metric
+            for p in picked:
+                m_ = jnp.where(col == p[..., None], neg, m_)
+            return m_
+
+        for _ in range(k):
+            picked.append(jnp.argmax(masked_metric(), axis=-1))  # [B, M]
+        # The final masked metric encodes the selection directly: metric
+        # >= 0 everywhere (cls^a * iou^b, zeroed outside mask_in) and
+        # exactly the k argmax picks read as -1 — so picked <=> masked < 0.
+        # The (> eps) guard drops zero-metric picks (argmax exhausting a
+        # row): a pick's value at pick time IS its metric, since earlier
+        # picks only mask their own positions. No [B, M, A, k] one-hot
+        # rebuild pass is ever built.
+        sel = (masked_metric() < jnp.bfloat16(0)) & (metric > eps)
+        mask_pos = sel & mask_in
 
     # --- conflict resolution: anchor claimed by multiple gts -> max IoU ---
     # One unconditional broadcast-compare replaces the r2/r3 three-pass form

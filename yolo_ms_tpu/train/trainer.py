@@ -218,6 +218,19 @@ class Trainer:
                 num_classes=dcfg.num_classes,
                 verbose=verbose,
             )
+            # Pod val feed (VERDICT r4 item 6): when the eval batch shards
+            # over the pure-DP mesh, each host decodes only ITS image rows
+            # (targets stay global — mAP accumulation is identical on every
+            # host). Requires the sharded-eval preconditions below, computed
+            # here without the mesh (built later in __init__): pure DP
+            # (spatial==1 => mesh 'data' axis == total devices) and the eval
+            # batch dividing the device count.
+            val_images_shard = (
+                jax.process_count() > 1
+                and max(1, int(cfg.parallel.spatial)) == 1
+                and cfg.evaluation.batch_size % len(jax.devices()) == 0
+                and cfg.evaluation.batch_size % jax.process_count() == 0
+            )
             self.val_loader = DetectionLoader(
                 val_ds,
                 batch_size=cfg.evaluation.batch_size,
@@ -228,7 +241,14 @@ class Trainer:
                 num_workers=cfg.workers,
                 drop_last=False,
                 device_normalize=True,
+                process_shard=(
+                    (jax.process_index(), jax.process_count())
+                    if val_images_shard
+                    else None
+                ),
+                shard_images_only=val_images_shard,
             )
+            self._val_images_local = val_images_shard
 
         # --- init / pretrained ---
         rng = jax.random.PRNGKey(tcfg.seed)
@@ -336,8 +356,17 @@ class Trainer:
         )
         self.start_epoch = 0
         self.start_step = 0
-        self._current_epoch = 0
-        self._current_step = 0
+        # Checkpoint cursor: (epoch, committed_steps_this_epoch). ONE tuple
+        # stored with a single STORE_ATTR so the SIGTERM handler (which runs
+        # between bytecodes on this same thread) can never observe a
+        # half-updated epoch/step pair (see _install_preemption_handler).
+        self._cursor = (0, 0)
+        # True exactly while a train step is in flight (dispatch through
+        # state commit). In that window the previous state's buffers are
+        # DONATED to the running step, so the handler must not save — it
+        # defers to the loop's commit point instead.
+        self._step_active = False
+        self._preempt_signum: int | None = None
 
         # --- output dirs / logging / checkpoints (process 0 writes only:
         # on a pod every host sees the same shared output dir) ---
@@ -450,23 +479,30 @@ class Trainer:
         return out
 
     def _globalize_eval_images(self, images):
-        """Eval-feed analog of _globalize. The val loader is NOT process-
-        sharded (every host decodes the full batch — val is cheap and this
-        keeps mAP accumulation trivially identical on every host), so on a
-        pod each host contributes the rows its own devices hold: its slice
-        under the sharded path, the full (replicated) batch otherwise."""
+        """Eval-feed analog of _globalize: each host contributes the image
+        rows its own devices hold. Under the process-sharded val feed
+        (shard_images_only) the loader already decoded ONLY those rows, so
+        they pass straight through; otherwise the host slices its rows out
+        of the full batch (sharded eval) or replicates it (fallback)."""
         if jax.process_count() == 1:
             return images
         v = np.asarray(images)
-        if self._eval_sharded:
-            cnt, idx = jax.process_count(), jax.process_index()
+        cnt, idx = jax.process_count(), jax.process_index()
+        if getattr(self, "_val_images_local", False):
+            # loader decoded exactly this host's rows
+            sh = self.data_sh
+            part = v
+            gshape = (v.shape[0] * cnt,) + v.shape[1:]
+        elif self._eval_sharded:
             local = v.shape[0] // cnt
             sh = self.data_sh
             part = v[idx * local : (idx + 1) * local]
+            gshape = v.shape
         else:
             sh = self.repl
             part = v
-        return jax.make_array_from_process_local_data(sh, part, v.shape)
+            gshape = v.shape
+        return jax.make_array_from_process_local_data(sh, part, gshape)
 
     def _run_synced(self, name, jit_fn, *args):
         """Call a jitted fn; on multi-process runs, fence each NEW shape
@@ -617,53 +653,84 @@ class Trainer:
             self.start_epoch = int(restored["epoch"]) + 1
             self.start_step = 0
 
+    def _save_preempt_and_exit(self, signum: int):
+        """Drain, save the preemption checkpoint (primary), exit 128+signum.
+
+        Pod-safe ordering: EVERY process first drains its in-flight work
+        (block_until_ready participates in any outstanding collective, so
+        the primary's device_get cannot hang behind a peer that exited
+        mid-psum), and only then non-primaries exit while the primary saves
+        (the save itself reads replicated shards — process-local)."""
+        try:
+            jax.block_until_ready(
+                jax.tree_util.tree_leaves(self.state.params)
+            )
+        except Exception:
+            pass  # backend already torn down — save what the host has
+        if not self._primary:
+            raise SystemExit(128 + signum)
+        path = os.path.join(self.ckpt.dir, "preempt.ckpt")
+        print(f"\nSignal {signum}: saving preemption checkpoint to {path}")
+        from yolo_ms_tpu.utils.checkpoint import save_checkpoint
+
+        epoch, step = self._cursor
+        if step == 0:
+            # resume() reads step_in_epoch==0 as "epoch complete, start the
+            # next one" (the end-of-epoch checkpoint format). A preemption
+            # before the first commit of epoch E must instead restart E from
+            # its top — encode that as "epoch E-1 complete".
+            epoch -= 1
+        # local_only: peers drain and exit on the same signal, so the
+        # save must not barrier over them; save_checkpoint fetches the
+        # replicated state from local shards (no collectives).
+        save_checkpoint(
+            path,
+            {
+                "state": self.state,
+                "epoch": epoch,
+                # deterministic loader => exact mid-epoch resume
+                "step_in_epoch": step,
+            },
+            local_only=True,
+        )
+        raise SystemExit(128 + signum)
+
     def _install_preemption_handler(self):
         """Save a full-state checkpoint on SIGTERM/SIGINT before exiting —
         the elastic-recovery hook the reference lacks (SURVEY.md §5).
 
-        Pod-safe ordering: EVERY process first drains its in-flight step
-        (block_until_ready participates in any outstanding collective, so
-        the primary's device_get cannot hang behind a peer that exited
-        mid-psum), and only then non-primaries exit while the primary saves
-        (the save itself reads replicated shards — process-local). A
-        watchdog hard-exits if a peer died before draining, so shutdown is
-        bounded even on a wedged collective."""
+        Two paths, both ending in exit 128+signum on every process:
+
+        - idle (no train step in flight): the handler saves directly —
+          self.state is the last committed state and nothing holds its
+          buffers.
+        - a step IN FLIGHT: the previous state's buffers are donated to the
+          running XLA program and the cursor points at the not-yet-committed
+          step, so saving here would read deleted buffers / skip a batch.
+          The handler only records the signal; the fit loop notices it at
+          the next commit point — state, cursor, and collectives all
+          consistent — and saves there. Signals run between bytecodes on the
+          main thread, so the _step_active flag can never be observed
+          mid-transition.
+
+        A grace watchdog (YOLO_MS_PREEMPT_GRACE_S) hard-exits if a peer died
+        before draining, so shutdown is bounded even on a wedged
+        collective."""
         import signal
         import threading
 
         grace = float(os.environ.get("YOLO_MS_PREEMPT_GRACE_S", "60"))
 
         def handler(signum, frame):
-            # a dead peer must not wedge shutdown forever
+            # a dead peer / wedged in-flight collective must not wedge
+            # shutdown forever — armed at signal time for BOTH paths
             w = threading.Timer(grace, lambda: os._exit(128 + signum))
             w.daemon = True
             w.start()
-            try:
-                jax.block_until_ready(
-                    jax.tree_util.tree_leaves(self.state.params)
-                )
-            except Exception:
-                pass  # backend already torn down — save what the host has
-            if not self._primary:
-                raise SystemExit(128 + signum)
-            path = os.path.join(self.ckpt.dir, "preempt.ckpt")
-            print(f"\nSignal {signum}: saving preemption checkpoint to {path}")
-            from yolo_ms_tpu.utils.checkpoint import save_checkpoint
-
-            # local_only: peers drain and exit on the same signal, so the
-            # save must not barrier over them; save_checkpoint fetches the
-            # replicated state from local shards (no collectives).
-            save_checkpoint(
-                path,
-                {
-                    "state": self.state,
-                    "epoch": self._current_epoch,
-                    # deterministic loader => exact mid-epoch resume
-                    "step_in_epoch": self._current_step,
-                },
-                local_only=True,
-            )
-            raise SystemExit(128 + signum)
+            self._preempt_signum = signum
+            if self._step_active:
+                return  # defer: fit commits the in-flight step, then saves
+            self._save_preempt_and_exit(signum)
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
@@ -675,12 +742,13 @@ class Trainer:
         assert self.train_loader is not None, "no training dataset configured"
         tcfg = self.cfg.training
         steps_per_epoch = len(self.train_loader)
-        self._current_epoch = self.start_epoch
+        self._cursor = (self.start_epoch, self.start_step)
         self._install_preemption_handler()
         print(f"Starting training for {tcfg.epochs} epochs ({steps_per_epoch} steps/epoch)")
 
         for epoch in range(self.start_epoch, tcfg.epochs):
-            self._current_epoch = epoch
+            first_step = self.start_step if epoch == self.start_epoch else 0
+            self._cursor = (epoch, first_step)
             t0 = time.time()
             # state.step counts train-step calls; with gradient accumulation
             # the schedule advances once per APPLIED optimizer step
@@ -692,20 +760,25 @@ class Trainer:
             # epoch mean the reference logs (train.py:396), not a subsample.
             step_losses, n_steps = [], 0
 
-            first_step = self.start_step if epoch == self.start_epoch else 0
-            self._current_step = first_step
             for batch_idx, batch in enumerate(
                 self.train_loader.epoch(epoch, start_step=first_step),
                 start=first_step,
             ):
-                self._current_step = batch_idx + 1
                 host_batch = {
                     k: batch[k] for k in ("images", "boxes", "labels", "mask")
                 }
                 host_batch = self._globalize(self._bucket_gt(host_batch))
+                # In-flight window: the state buffers are donated to the
+                # dispatched step; a SIGTERM landing here is deferred to the
+                # commit point below (see _install_preemption_handler).
+                self._step_active = True
                 self.state, metrics = self._run_synced(
                     "train_step", self._train_step, self.state, host_batch
                 )
+                self._cursor = (epoch, batch_idx + 1)
+                self._step_active = False
+                if self._preempt_signum is not None:
+                    self._save_preempt_and_exit(self._preempt_signum)
                 n_steps += 1
                 step_losses.append(metrics["total_loss"])
                 gstep = epoch * steps_per_epoch + batch_idx
@@ -736,8 +809,13 @@ class Trainer:
                 val_metric = self.validate(epoch + 1)
                 self.logger.scalar("Validation/mAP_50", val_metric, epoch)
 
+            # _to_host, not device_get: the state is replicated, and on a
+            # pod device_get of a non-fully-addressable array can issue a
+            # cross-host gather — the local replica IS the global value
+            from yolo_ms_tpu.utils.checkpoint import _to_host
+
             ckpt_state = {
-                "state": jax.device_get(self.state),
+                "state": _to_host(self.state),
                 "epoch": epoch,
                 "step_in_epoch": 0,
             }

@@ -132,17 +132,28 @@ class CheckpointManager:
             json.dump({"best_metric": self.best_metric}, f)
 
     def on_epoch_end(self, state, epoch: int, metric: float | None = None):
+        # local_only: these saves run on the PRIMARY only, so the default
+        # orbax checkpointer — whose save barriers over ALL processes —
+        # would deadlock every multi-process fit at the first epoch end.
+        # The process-0-scoped checkpointer completes alone; the state
+        # passed in is host numpy (Trainer.fit fetches it collective-free).
         if self.primary:
-            save_checkpoint(os.path.join(self.dir, "last.ckpt"), state)
+            save_checkpoint(
+                os.path.join(self.dir, "last.ckpt"), state, local_only=True
+            )
             if (epoch + 1) % self.save_period == 0:
                 save_checkpoint(
-                    os.path.join(self.dir, f"epoch_{epoch + 1}.ckpt"), state
+                    os.path.join(self.dir, f"epoch_{epoch + 1}.ckpt"),
+                    state,
+                    local_only=True,
                 )
         if metric is not None and metric > self.best_metric:
             self.best_metric = metric
             if self.primary:
                 self._save_best_metric()
-                save_checkpoint(os.path.join(self.dir, "best.ckpt"), state)
+                save_checkpoint(
+                    os.path.join(self.dir, "best.ckpt"), state, local_only=True
+                )
             return True
         return False
 
