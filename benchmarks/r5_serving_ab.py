@@ -25,7 +25,7 @@ import sys
 import time
 
 
-def main(arch="v8-n", bs=128, n=30):
+def main(arch="yolov8-n", bs=128, n=30):
     import jax
     import jax.numpy as jnp
     import numpy as np

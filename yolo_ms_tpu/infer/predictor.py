@@ -37,6 +37,7 @@ from yolo_ms_tpu.models.deploy import (
     is_deploy_variables,
 )
 from yolo_ms_tpu.models.registry import build_model
+from yolo_ms_tpu.infer.layouts import AutoLayoutInfer
 from yolo_ms_tpu.ops.postprocess import fused_postprocess
 
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
@@ -59,6 +60,7 @@ class Predictor:
         dtype=jnp.float32,
         pre_nms_topk: int = 1024,
         deploy: bool = True,
+        entry_layouts: str = "auto",
     ):
         self.model = build_model(
             architecture, num_classes=num_classes, reg_max=reg_max, dtype=dtype
@@ -87,7 +89,14 @@ class Predictor:
         self.reg_max = reg_max
         self.letterbox = letterbox
         self.pre_nms_topk = pre_nms_topk
-        self._infer = jax.jit(self._infer_impl)
+        # entry_layouts="auto": AOT-compile with XLA-preferred entry layouts
+        # and relayout each arriving batch into the preferred image format —
+        # +7-16% single-dispatch serving on v5e (infer/layouts.py, PERF.md
+        # round-5 serving A/B). "default" keeps plain jit (row-major entry).
+        if entry_layouts == "auto":
+            self._infer = AutoLayoutInfer(self._infer_impl)
+        else:
+            self._infer = jax.jit(self._infer_impl)
 
     def _infer_impl(self, variables, images_u8):
         """images_u8: [B, H, W, 3] uint8 -> NMS outputs. Normalization runs

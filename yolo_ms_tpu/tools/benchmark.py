@@ -315,6 +315,7 @@ def run_streaming(
     n_images: int = 2048,
     threads: int = 8,
     depth: int = 8,
+    entry_layouts: str = "auto",
 ) -> dict:
     """Sustained end-to-end serving throughput: disk JPEG -> host decode+
     resize (C++ loader when built) -> async H2D -> deploy graph -> decoded
@@ -390,12 +391,21 @@ def run_streaming(
         init_model(model, jax.random.PRNGKey(0), (img_size, img_size))
     )
 
-    @jax.jit
-    def e2e(v, imgs):
+    def e2e_impl(v, imgs):
         x = device_normalize_images(imgs, jnp.bfloat16)
         with deploy_mode():
             raw = model.apply(v, x, train=False, split_head=True)
         return fused_postprocess(raw, num_classes)
+
+    # Per-batch dispatch is the regime where pinned entry layouts win
+    # (+3-10% net incl. the per-batch relayout of the row-major arrival —
+    # PERF.md round-5 serving A/B); same serving path as the Predictor.
+    if entry_layouts == "auto":
+        from yolo_ms_tpu.infer.layouts import AutoLayoutInfer
+
+        e2e = AutoLayoutInfer(e2e_impl)
+    else:
+        e2e = jax.jit(e2e_impl)
 
     def sync(out):
         # device_get of a small output is the only reliable execution sync
@@ -492,6 +502,7 @@ def run_streaming(
         "n_images": len(paths),
         "threads": threads,
         "native_loader": native,
+        "entry_layouts": entry_layouts,
         "device": str(jax.devices()[0]),
         "sustained_img_per_s": round(sustained, 1),
         "host_decode_img_per_s": round(host_rate, 1),
@@ -523,6 +534,13 @@ def main(argv=None) -> None:
     )
     p.add_argument("--n_images", type=int, default=2048, help="streaming: set size")
     p.add_argument("--threads", type=int, default=8, help="streaming: decode threads")
+    p.add_argument(
+        "--entry_layouts",
+        default="auto",
+        choices=["auto", "default"],
+        help="streaming: pin XLA-preferred entry layouts on the serving "
+        "graph (PERF.md round-5 serving A/B; 'default' = row-major jit)",
+    )
     args = p.parse_args(argv)
     if args.mode == "streaming":
         report = run_streaming(
@@ -533,6 +551,7 @@ def main(argv=None) -> None:
             images_dir=args.images,
             n_images=args.n_images,
             threads=args.threads,
+            entry_layouts=args.entry_layouts,
         )
     else:
         report = run_benchmark(
