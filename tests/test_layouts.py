@@ -51,6 +51,18 @@ def test_multiple_shapes_cached_independently():
         np.testing.assert_allclose(out["y"], ref["y"], rtol=1e-6)
 
 
+def test_image_format_none_on_fallback_path():
+    """Producers must get None (= plain device_put) whenever the wrapper
+    is on its fallback path, e.g. on the CPU test backend."""
+    v = _variables()
+    imgs = jnp.asarray(
+        np.random.default_rng(3).integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    )
+    wrapped = AutoLayoutInfer(_fn)
+    if wrapped._disabled:
+        assert wrapped.image_format(v, imgs) is None
+
+
 def test_force_enabled_still_correct():
     """Force the AUTO path even off-TPU: either the AOT compile works and
     outputs match, or the wrapper must fall back transparently."""

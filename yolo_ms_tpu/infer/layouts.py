@@ -71,9 +71,11 @@ class AutoLayoutInfer:
         self._cache: dict = {}
         self._disabled = jax.default_backend() not in ("tpu",)
 
-    def __call__(self, variables, images):
+    def _ensure(self, variables, images):
+        """(compiled, pinned weights, preferred image Format) for this image
+        shape, or None once disabled/fallen back."""
         if self._disabled:
-            return self._jit_fallback(variables, images)
+            return None
         key = (tuple(images.shape), str(images.dtype))
         ent = self._cache.get(key)
         if ent is None:
@@ -92,8 +94,23 @@ class AutoLayoutInfer:
                     e,
                 )
                 self._disabled = True
-                return self._jit_fallback(variables, images)
+                return None
             self._cache[key] = ent
+        return ent
+
+    def image_format(self, variables, example_images):
+        """Compiler-preferred ``Format`` for image batches of this shape
+        (compiling on first use), or None on the fallback path. Producers
+        can ``jax.device_put`` arriving batches into it so dispatch skips
+        the per-batch relayout — the pre-pinned row of the round-5 A/B
+        (+16.6% v8-n vs +10.5% with per-batch relayout, PERF.md)."""
+        ent = self._ensure(variables, example_images)
+        return None if ent is None else ent[2]
+
+    def __call__(self, variables, images):
+        ent = self._ensure(variables, images)
+        if ent is None:
+            return self._jit_fallback(variables, images)
         compiled, v_pinned, img_fmt = ent
         # per-batch relayout of the row-major arrival into the preferred
         # image format (PERF.md round-5: net win at bs>=32 on v5e); skipped

@@ -338,6 +338,7 @@ def run_streaming(
 
     from yolo_ms_tpu.data import native_loader
     from yolo_ms_tpu.data.augment import device_normalize_images
+    from yolo_ms_tpu.infer.layouts import AutoLayoutInfer
     from yolo_ms_tpu.models.deploy import deploy_mode, fold_batchnorm
     from yolo_ms_tpu.models.registry import build_model, init_model
     from yolo_ms_tpu.ops.postprocess import fused_postprocess
@@ -401,8 +402,6 @@ def run_streaming(
     # (+3-10% net incl. the per-batch relayout of the row-major arrival —
     # PERF.md round-5 serving A/B); same serving path as the Predictor.
     if entry_layouts == "auto":
-        from yolo_ms_tpu.infer.layouts import AutoLayoutInfer
-
         e2e = AutoLayoutInfer(e2e_impl)
     else:
         e2e = jax.jit(e2e_impl)
@@ -424,6 +423,21 @@ def run_streaming(
     # warmup: compile + first decode
     first = decode_batch(path_batches[0])
     sync(e2e(variables, jax.device_put(first)))
+
+    # Producer-side pinning: put decoded batches directly into the
+    # compiler-preferred image format so dispatch skips the per-batch
+    # relayout (the pre-pinned row of the round-5 serving A/B). Falls back
+    # to plain device_put under entry_layouts="default" or off-TPU.
+    img_fmt = (
+        e2e.image_format(variables, first)
+        if isinstance(e2e, AutoLayoutInfer)
+        else None
+    )
+
+    def put_images(x):
+        if img_fmt is None:
+            return jax.device_put(x)
+        return jax.device_put(x, img_fmt)
 
     import time as _time
 
@@ -462,7 +476,7 @@ def run_streaming(
     # --- leg 3: device-only rate, pipelined dispatch (all batches enqueued,
     # one final sync — per-dispatch sync would charge the tunnel round-trip
     # to the device; this matches the lax.scan steady-state methodology) ---
-    resident = jax.device_put(first)
+    resident = put_images(first)
     sync(e2e(variables, resident))
     t0 = _time.perf_counter()
     last = None
@@ -477,7 +491,7 @@ def run_streaming(
     # tests/test_benchmark_cli.py::test_pipelined_sustained_overlap) ---
     sustained_s, done = pipelined_sustained(
         path_batches,
-        produce=lambda pb: jax.device_put(decode_batch(pb)),
+        produce=lambda pb: put_images(decode_batch(pb)),
         dispatch=lambda item: e2e(variables, item),
         sync=sync,
         depth=depth,
